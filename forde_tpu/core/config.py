@@ -1,0 +1,272 @@
+"""Typed configuration for the FORDE TPU framework.
+
+Covers both reference capability sets:
+  * the decoder-only LLM (MoE + Native Sparse Attention + manifold
+    hyper-connections), mirroring the flag surface of the reference
+    ``LLMConfig`` (reference: src/forde/model.py:39-69), and
+  * the CLIP-style dual encoder with StatefulLayer blocks
+    (reference: README.md:26-59),
+plus brain (slow-loop), parallelism, and training knobs that are new,
+TPU-first concerns (mesh axes, dtype policy, MoE dispatch mode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# dtype policy
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DTypePolicy:
+    """Compute in low precision on the MXU, keep params/stats in fp32.
+
+    ``compute``  — activations & matmuls (bf16 on TPU).
+    ``param``    — parameter storage.
+    ``stats``    — sensing/brain statistics accumulators (always fp32).
+    """
+
+    compute: jnp.dtype = jnp.float32
+    param: jnp.dtype = jnp.float32
+    stats: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def bf16() -> "DTypePolicy":
+        return DTypePolicy(compute=jnp.bfloat16, param=jnp.float32)
+
+    @staticmethod
+    def fp32() -> "DTypePolicy":
+        return DTypePolicy()
+
+
+# ---------------------------------------------------------------------------
+# Decoder-only LLM (reference: src/forde/model.py:39-69)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    """Configuration for the FORDE decoder-only LLM.
+
+    Field names and defaults match the reference ``LLMConfig``
+    (src/forde/model.py:39-69) so that configs translate 1:1; TPU-specific
+    fields (dispatch mode, kernels, remat) are additive.
+    """
+
+    vocab_size: int = 32000
+    d_model: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    head_dim: int = 64
+    max_seq_len: int = 2048
+
+    # MoE configuration
+    use_moe: bool = True
+    num_experts: int = 8
+    top_k_experts: int = 2
+    expert_hidden_dim: int = 2048
+    moe_aux_loss_weight: float = 0.01
+
+    # NSA configuration
+    use_sparse_attention: bool = True
+    window_size: int = 512
+    compression_ratio: int = 8
+    top_k_global: int = 64
+
+    # mHC configuration
+    use_hyper_connections: bool = True
+    num_streams: int = 4
+    sinkhorn_iterations: int = 5
+
+    # Dropout
+    dropout_rate: float = 0.1
+
+    # --- TPU-first knobs (no reference equivalent) ---
+    # MoE dispatch: "dense" reproduces the reference's every-expert-on-every-
+    # token math exactly (src/forde/moe.py:161-185); "capacity" is the
+    # production scatter/gather path with a capacity factor.
+    moe_dispatch: str = "dense"
+    moe_capacity_factor: float = 2.0
+    # Attention kernel: "auto" picks Pallas flash attention on TPU and the
+    # jnp reference elsewhere; "reference" forces the jnp path; "pallas"
+    # forces the kernel (interpreted off-TPU).
+    attention_impl: str = "auto"
+    # Rematerialize decoder blocks to trade FLOPs for HBM.
+    remat: bool = False
+    dtypes: DTypePolicy = field(default_factory=DTypePolicy)
+
+    def replace(self, **kw) -> "LLMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def create_default_config() -> LLMConfig:
+    """Small test config, mirroring reference create_default_config
+    (src/forde/model.py:349-370)."""
+    return LLMConfig(
+        vocab_size=50257,
+        d_model=256,
+        num_layers=4,
+        num_heads=4,
+        head_dim=64,
+        max_seq_len=1024,
+        use_moe=True,
+        num_experts=4,
+        top_k_experts=2,
+        expert_hidden_dim=512,
+        use_sparse_attention=True,
+        window_size=128,
+        compression_ratio=4,
+        top_k_global=32,
+        use_hyper_connections=True,
+        num_streams=2,
+        sinkhorn_iterations=3,
+        dropout_rate=0.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dual encoder (reference: README.md:26-59 + BASELINE.json configs)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TowerConfig:
+    """One encoder tower (vision or text) built from FORDE transformer
+    blocks (README.md:39-45)."""
+
+    d_model: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    head_dim: int = 64
+    mlp_hidden_dim: int = 2048
+    dropout_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class DualEncoderConfig:
+    """CLIP-style dual encoder (README.md:26-35).
+
+    StatefulLayer semantics per README.md:47-56: k-way multiplexed
+    activation (relu / tanh / straight-through binary_step), gated
+    residual (specialists gate=0.1, generalists gate=1.0).
+    """
+
+    # Vision tower
+    image_size: int = 224
+    patch_size: int = 16
+    vision: TowerConfig = field(default_factory=lambda: TowerConfig())
+    # Text tower
+    vocab_size: int = 30522  # bert-base-uncased (download_to_drive.py:122)
+    max_text_len: int = 64
+    text: TowerConfig = field(
+        default_factory=lambda: TowerConfig(d_model=512, num_layers=12)
+    )
+    # Shared embedding space
+    embed_dim: int = 512
+    logit_scale_init: float = 2.6592  # log(1/0.07), CLIP convention
+    # StatefulLayer
+    num_neuron_types: int = 3
+    specialist_gate: float = 0.1
+    # Forde-lite: rule-based assignments instead of GMM (README.md:58-59)
+    forde_lite: bool = False
+    # Use fused Pallas StatefulLayer kernel on TPU
+    stateful_kernel_impl: str = "auto"
+    dtypes: DTypePolicy = field(default_factory=DTypePolicy)
+
+    def replace(self, **kw) -> "DualEncoderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def vit_b16_config() -> DualEncoderConfig:
+    """ViT-B/16 + 12-layer text tower (BASELINE.json config 4)."""
+    return DualEncoderConfig(
+        image_size=224,
+        patch_size=16,
+        vision=TowerConfig(
+            d_model=768, num_layers=12, num_heads=12, head_dim=64, mlp_hidden_dim=3072
+        ),
+        text=TowerConfig(
+            d_model=512, num_layers=12, num_heads=8, head_dim=64, mlp_hidden_dim=2048
+        ),
+        embed_dim=512,
+    )
+
+
+def vit_tiny_config() -> DualEncoderConfig:
+    """Forde-lite tiny config: ViT-Ti/16 + 2-layer text (BASELINE.json
+    config 1)."""
+    return DualEncoderConfig(
+        image_size=224,
+        patch_size=16,
+        vision=TowerConfig(
+            d_model=192, num_layers=12, num_heads=3, head_dim=64, mlp_hidden_dim=768
+        ),
+        text=TowerConfig(
+            d_model=192, num_layers=2, num_heads=3, head_dim=64, mlp_hidden_dim=768
+        ),
+        embed_dim=192,
+        forde_lite=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brain (slow loop)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BrainConfig:
+    """Sense -> Cluster -> Smooth -> Actuate slow loop configuration.
+
+    The reference runs this host-side with sklearn GMM
+    (src/forde/moe_slow_loop.py:253-464, src/forde/clustering.py:27-30);
+    here the whole loop is jittable and stays on device.
+    """
+
+    num_clusters: int = 3
+    gmm_iterations: int = 50
+    gmm_kmeans_iterations: int = 10
+    gmm_reg_covar: float = 1e-6
+    smoothing_kernel_size: int = 3
+    # Router actuation (moe_slow_loop.py:211-250)
+    target_balance: float = 0.1
+    max_adjustment: float = 0.1
+    specialist_damping: float = 0.5
+    # Forde-lite rule thresholds (README.md:58-59)
+    lite_spec_grad_gini: float = 0.8
+    lite_pool_act_gini: float = 0.3
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop configuration, mirroring the reference CLI surface
+    (src/training/train.py:178-237)."""
+
+    batch_size: int = 8
+    seq_len: int = 512
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 1.0
+    num_epochs: int = 1
+    steps_per_epoch: int = 1000
+    log_interval: int = 10
+    slow_loop_interval: int = 100  # 0 disables
+    checkpoint_dir: Optional[str] = None
+    checkpoint_interval: int = 0  # 0 = only final
+    experiment_name: str = "forde_tpu"
+    use_dummy_data: bool = False
+    seed: int = 42
+    # Mesh shape: (data, expert) axis sizes; None = all devices on data.
+    mesh_shape: Optional[Tuple[int, int]] = None
+    brain: BrainConfig = field(default_factory=BrainConfig)

@@ -1,0 +1,117 @@
+"""Device mesh and sharding helpers.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.4: no
+pmap/pjit/shard_map anywhere); parallelism here is new, TPU-first work.
+Everything scales through one ``jax.sharding.Mesh`` with named axes:
+
+  * ``data``    — data parallelism (batch dimension, contrastive all-gather)
+  * ``expert``  — expert parallelism for MoE layers
+  * ``context`` — context/sequence parallelism for long sequences (ring
+                  attention; wired in the parallel/ package)
+
+A single chip is just the trivial 1x1x1 mesh, so every code path is written
+against the mesh and degenerates gracefully.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DATA = "data"
+AXIS_EXPERT = "expert"
+AXIS_CONTEXT = "context"
+
+ALL_AXES = (AXIS_DATA, AXIS_EXPERT, AXIS_CONTEXT)
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    expert: int = 1,
+    context: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data, expert, context) mesh over the available devices.
+
+    If ``data`` is None it absorbs all devices not used by the other axes.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % (expert * context) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by expert*context={expert * context}"
+            )
+        data = n // (expert * context)
+    if data * expert * context != n:
+        raise ValueError(
+            f"mesh {data}x{expert}x{context} != {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(data, expert, context)
+    return Mesh(dev_array, ALL_AXES)
+
+
+def single_device_mesh() -> Mesh:
+    """Trivial mesh over one device (the common single-chip case)."""
+    return create_mesh(data=1, expert=1, context=1, devices=jax.devices()[:1])
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(AXIS_DATA))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def expert_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (expert) dimension over the expert axis.
+
+    Used for stacked MoE expert parameters of shape (E, ...).
+    """
+    return NamedSharding(mesh, P(AXIS_EXPERT))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, sharded along the data axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def axis_size(mesh: Mesh, axis: str) -> int:
+    return mesh.shape[axis]
+
+
+def logical_to_sharding(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_shardings(params, mesh: Mesh):
+    """Derive NamedShardings for a parameter pytree.
+
+    Policy (round 1): stacked expert parameters — leaves whose path contains
+    an ``experts`` scope — are sharded on their leading (expert) dimension
+    over the ``expert`` axis; everything else is replicated. The expert
+    einsum dispatch then parallelizes under pjit with XLA-inserted
+    collectives.
+    """
+    expert_axis = mesh.shape[AXIS_EXPERT]
+
+    def leaf_sharding(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        is_expert = any("experts" == n for n in names)
+        if (
+            is_expert
+            and expert_axis > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[0] % expert_axis == 0
+        ):
+            return NamedSharding(mesh, P(AXIS_EXPERT))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)

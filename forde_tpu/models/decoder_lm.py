@@ -1,0 +1,247 @@
+"""FORDE decoder-only language model.
+
+Parity target: reference src/forde/model.py (DecoderBlock :72-199,
+FORDEDecoderLM :202-294, FORDEDecoderLMWithLoss :297-346). Same macro
+structure — token + learned positional embeddings, pre-norm blocks of
+[NSA-or-causal attention, mHC-or-plain residual, MoE-or-dense FFN,
+mHC-or-plain residual], final norm, stream collapse, lm_head — with the
+TPU-first internals from forde_tpu.nn (flash attention, stacked-expert
+einsum MoE, fused stream expansion).
+
+Fixes the reference's latent NameError in FORDEDecoderLMWithLoss (optax was
+only imported under __main__, model.py:339 vs :374).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from forde_tpu.core.config import LLMConfig, create_default_config  # noqa: F401
+from forde_tpu.nn.attention import CausalSelfAttention, NativeSparseAttention
+from forde_tpu.nn.hyper_connections import (
+    HyperConnectionStream,
+    ManifoldHyperConnection,
+    StreamCollapser,
+)
+from forde_tpu.nn.moe import MoEStatefulLayer
+
+
+class DecoderBlock(nn.Module):
+    """Pre-norm decoder block (reference model.py:72-199)."""
+
+    config: LLMConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        streams: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+        cfg = self.config
+        dtype = cfg.dtypes.compute
+
+        if cfg.use_hyper_connections:
+            if streams is None:
+                # Per-block fallback (reference model.py:109-117); unreachable
+                # in the normal model path but part of the module contract.
+                streams = HyperConnectionStream(
+                    num_streams=cfg.num_streams,
+                    d_model=cfg.d_model,
+                    dtype=dtype,
+                    name="stream_init",
+                )(x)
+            working_input = streams[:, :, 0, :]
+        else:
+            working_input = x
+
+        # ----- attention sublayer -----
+        attn_input = nn.LayerNorm(name="attn_norm", dtype=dtype)(working_input)
+        if cfg.use_sparse_attention:
+            attn_output = NativeSparseAttention(
+                num_heads=cfg.num_heads,
+                head_dim=cfg.head_dim,
+                window_size=cfg.window_size,
+                compression_ratio=cfg.compression_ratio,
+                top_k_global=cfg.top_k_global,
+                impl=cfg.attention_impl,
+                dtype=dtype,
+                name="sparse_attention",
+            )(attn_input, mask)
+        else:
+            attn_output = CausalSelfAttention(
+                num_heads=cfg.num_heads,
+                head_dim=cfg.head_dim,
+                impl=cfg.attention_impl,
+                dtype=dtype,
+                name="causal_attention",
+            )(attn_input, mask)
+
+        if not deterministic:
+            attn_output = nn.Dropout(rate=cfg.dropout_rate)(
+                attn_output, deterministic=deterministic
+            )
+
+        if cfg.use_hyper_connections:
+            streams, working_input = ManifoldHyperConnection(
+                num_streams=cfg.num_streams,
+                sinkhorn_iterations=cfg.sinkhorn_iterations,
+                name="mhc_attn",
+            )(streams, attn_output, output_stream_idx=0)
+        else:
+            working_input = working_input + attn_output
+
+        # ----- FFN / MoE sublayer -----
+        ffn_input = nn.LayerNorm(name="ffn_norm", dtype=dtype)(working_input)
+        if cfg.use_moe:
+            ffn_output, moe_aux_loss = MoEStatefulLayer(
+                num_experts=cfg.num_experts,
+                top_k=cfg.top_k_experts,
+                expert_hidden_dim=cfg.expert_hidden_dim,
+                d_model=cfg.d_model,
+                aux_loss_weight=cfg.moe_aux_loss_weight,
+                dispatch=cfg.moe_dispatch,
+                capacity_factor=cfg.moe_capacity_factor,
+                dtype=dtype,
+                name="moe",
+            )(ffn_input)
+        else:
+            ffn_output = nn.Dense(cfg.expert_hidden_dim, name="ffn_up", dtype=dtype)(
+                ffn_input
+            )
+            ffn_output = nn.gelu(ffn_output)
+            ffn_output = nn.Dense(cfg.d_model, name="ffn_down", dtype=dtype)(
+                ffn_output
+            )
+            moe_aux_loss = jnp.array(0.0)
+
+        if not deterministic:
+            ffn_output = nn.Dropout(rate=cfg.dropout_rate)(
+                ffn_output, deterministic=deterministic
+            )
+
+        if cfg.use_hyper_connections:
+            streams, output = ManifoldHyperConnection(
+                num_streams=cfg.num_streams,
+                sinkhorn_iterations=cfg.sinkhorn_iterations,
+                name="mhc_ffn",
+            )(streams, ffn_output, output_stream_idx=0)
+        else:
+            output = working_input + ffn_output
+            streams = None
+
+        return output, streams, moe_aux_loss
+
+
+class FORDEDecoderLM(nn.Module):
+    """Decoder-only LM with MoE + NSA + mHC (reference model.py:202-294).
+
+    Returns (logits, total_aux_loss).
+    """
+
+    config: LLMConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        dtype = cfg.dtypes.compute
+        b, s = input_ids.shape
+
+        token_embedding = nn.Embed(
+            num_embeddings=cfg.vocab_size,
+            features=cfg.d_model,
+            dtype=dtype,
+            name="token_embed",
+        )(input_ids)
+        position_ids = jnp.arange(s)[None, :]
+        position_embedding = nn.Embed(
+            num_embeddings=cfg.max_seq_len,
+            features=cfg.d_model,
+            dtype=dtype,
+            name="pos_embed",
+        )(position_ids)
+        x = token_embedding + position_embedding
+
+        if not deterministic:
+            x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+
+        streams = None
+        if cfg.use_hyper_connections:
+            streams = HyperConnectionStream(
+                num_streams=cfg.num_streams,
+                d_model=cfg.d_model,
+                dtype=dtype,
+                name="initial_streams",
+            )(x)
+
+        total_aux_loss = jnp.array(0.0)
+        block_cls = DecoderBlock
+        if cfg.remat:
+            block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
+        for layer_idx in range(cfg.num_layers):
+            x, streams, moe_aux_loss = block_cls(
+                config=cfg, name=f"layer_{layer_idx}"
+            )(x, streams, mask, deterministic)
+            total_aux_loss = total_aux_loss + moe_aux_loss
+
+        # Deliberate deviation from the reference: model.py:276-285 applies
+        # final_norm to x and then *discards* the result by overwriting x
+        # with the collapsed streams, so lm_head sees unnormalized
+        # activations whenever mHC is on (a likely contributor to the
+        # reference's NaN run, SURVEY.md §6). Here we collapse first and
+        # normalize what actually feeds lm_head.
+        if cfg.use_hyper_connections and streams is not None:
+            x = StreamCollapser(
+                d_model=cfg.d_model,
+                collapse_method="weighted_sum",
+                dtype=dtype,
+                name="stream_collapser",
+            )(streams)
+        x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
+
+        logits = nn.Dense(
+            cfg.vocab_size,
+            name="lm_head",
+            kernel_init=nn.initializers.normal(stddev=0.02),
+            dtype=dtype,
+        )(x)
+        return logits.astype(jnp.float32), total_aux_loss
+
+
+class FORDEDecoderLMWithLoss(nn.Module):
+    """Convenience wrapper adding shifted next-token CE loss
+    (reference model.py:297-346, with the optax import bug fixed)."""
+
+    config: LLMConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        labels: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        logits, aux_loss = FORDEDecoderLM(config=self.config, name="decoder")(
+            input_ids, mask, deterministic
+        )
+        if labels is not None:
+            shift_logits = logits[:, :-1, :]
+            shift_labels = labels[:, 1:]
+            lm_loss = optax.softmax_cross_entropy_with_integer_labels(
+                shift_logits.reshape(-1, self.config.vocab_size),
+                shift_labels.reshape(-1),
+            ).mean()
+        else:
+            lm_loss = jnp.array(0.0)
+        return logits, lm_loss, aux_loss

@@ -1,0 +1,222 @@
+"""Attention modules: Native Sparse Attention and dense causal attention.
+
+Behavioral parity with the reference (src/forde/sparse_attention.py), but the
+local/causal branches run on the Pallas flash kernel instead of
+materializing (B, H, S, S) scores, and softmax always accumulates in fp32.
+
+Preserved reference quirks (these are *behavior*, per SURVEY.md §7.3):
+  * top-k selection is global per sequence, not per query
+    (sparse_attention.py:441)
+  * compressed branch pools the first num_pools*ratio positions via
+    modular indexing, with a pool-granularity causal mask
+    (sparse_attention.py:383-421)
+  * branch combination is local + sigmoid(gate_c)*compressed +
+    sigmoid(gate_t)*topk with hard on/off masks for short sequences
+    (sparse_attention.py:346-363)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from forde_tpu.ops.flash_attention import flash_attention
+
+
+def _split_heads(x, num_heads, head_dim):
+    b, s, _ = x.shape
+    return x.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class SlidingWindowAttention(nn.Module):
+    """Causal sliding-window attention (reference sparse_attention.py:51-104),
+    computed with the block-sparse flash kernel — work outside the window is
+    skipped, not masked."""
+
+    num_heads: int
+    head_dim: int
+    window_size: int = 512
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        b, s, d_model = x.shape
+        qkv = nn.Dense(
+            3 * self.num_heads * self.head_dim, name="qkv_proj", dtype=self.dtype
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.num_heads, self.head_dim)
+        k = _split_heads(k, self.num_heads, self.head_dim)
+        v = _split_heads(v, self.num_heads, self.head_dim)
+        out = flash_attention(
+            q, k, v, causal=True, window_size=self.window_size, impl=self.impl
+        )
+        out = _merge_heads(out)
+        return nn.Dense(d_model, name="out_proj", dtype=self.dtype)(out)
+
+
+class CausalSelfAttention(nn.Module):
+    """Dense causal attention fallback (reference sparse_attention.py:483-518)."""
+
+    num_heads: int
+    head_dim: int
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        b, s, d_model = x.shape
+        qkv = nn.Dense(
+            3 * self.num_heads * self.head_dim, name="qkv_proj", dtype=self.dtype
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.num_heads, self.head_dim)
+        k = _split_heads(k, self.num_heads, self.head_dim)
+        v = _split_heads(v, self.num_heads, self.head_dim)
+        out = flash_attention(q, k, v, causal=True, impl=self.impl)
+        out = _merge_heads(out)
+        return nn.Dense(d_model, name="out_proj", dtype=self.dtype)(out)
+
+
+class NativeSparseAttention(nn.Module):
+    """Three-branch NSA (reference sparse_attention.py:279-480).
+
+    local (sliding-window flash) + gated compressed-global + gated top-k.
+    """
+
+    num_heads: int = 8
+    head_dim: int = 64
+    window_size: int = 512
+    compression_ratio: int = 8
+    top_k_global: int = 64
+    use_compressed: bool = True
+    use_top_k: bool = True
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        b, s, d_model = x.shape
+
+        output = SlidingWindowAttention(
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            window_size=self.window_size,
+            impl=self.impl,
+            dtype=self.dtype,
+            name="local_attention",
+        )(x, mask)
+
+        # Static short-sequence gates (reference sparse_attention.py:331-332, 362)
+        local_window_start = s - self.window_size
+        has_global_context = local_window_start > self.compression_ratio
+
+        if self.use_compressed:
+            compressed = self._compressed_global(x)
+            gate_c = jax.nn.sigmoid(
+                nn.Dense(d_model, name="gate_compressed", dtype=self.dtype)(x)
+            )
+            use_mask = 1.0 if has_global_context else 0.0
+            output = output + use_mask * gate_c * compressed
+
+        if self.use_top_k:
+            topk = self._top_k(x)
+            gate_t = jax.nn.sigmoid(
+                nn.Dense(d_model, name="gate_top_k", dtype=self.dtype)(x)
+            )
+            use_mask = 1.0 if s > self.window_size else 0.0
+            output = output + use_mask * gate_t * topk
+
+        return output
+
+    def _compressed_global(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Coarse branch: mean-pool early positions into summaries, attend
+        with a pool-granular causal mask (reference :367-429)."""
+        b, s, d_model = x.shape
+        max_global_len = max(s - self.window_size, self.compression_ratio)
+        num_pools = max(max_global_len // self.compression_ratio, 1)
+        truncated_len = num_pools * self.compression_ratio
+
+        # Modular indexing quirk preserved: positions wrap past seq_len.
+        pool_indices = jnp.arange(truncated_len) % s
+        global_tokens = jnp.take(x, pool_indices, axis=1)
+        compressed = global_tokens.reshape(
+            b, num_pools, self.compression_ratio, d_model
+        ).mean(axis=2)
+
+        q = nn.Dense(
+            self.num_heads * self.head_dim, name="compressed_q_proj", dtype=self.dtype
+        )(x)
+        k = nn.Dense(
+            self.num_heads * self.head_dim, name="compressed_k_proj", dtype=self.dtype
+        )(compressed)
+        v = nn.Dense(
+            self.num_heads * self.head_dim, name="compressed_v_proj", dtype=self.dtype
+        )(compressed)
+        q = _split_heads(q, self.num_heads, self.head_dim)
+        k = _split_heads(k, self.num_heads, self.head_dim)
+        v = _split_heads(v, self.num_heads, self.head_dim)
+
+        scale = 1.0 / jnp.sqrt(self.head_dim)
+        scores = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        query_positions = jnp.arange(s)[None, None, :, None]
+        pool_ends = ((jnp.arange(num_pools) + 1) * self.compression_ratio)[
+            None, None, None, :
+        ]
+        scores = jnp.where(query_positions >= pool_ends, scores, -1e9)
+        weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = _merge_heads(out).astype(x.dtype)
+        return nn.Dense(d_model, name="compressed_out_proj", dtype=self.dtype)(out)
+
+    def _top_k(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fine branch: learned importance scores pick k tokens globally per
+        sequence; attend with index-based causal mask (reference :431-480)."""
+        b, s, d_model = x.shape
+        k_sel = min(self.top_k_global, s)
+
+        importance = nn.Dense(1, name="importance_scorer", dtype=self.dtype)(
+            x
+        ).squeeze(-1)
+        _, top_k_indices = jax.lax.top_k(importance, k_sel)  # (b, k) global per seq
+
+        batch_idx = jnp.arange(b)[:, None]
+        selected = x[batch_idx, top_k_indices, :]  # (b, k, d_model)
+
+        q = nn.Dense(
+            self.num_heads * self.head_dim, name="topk_q_proj", dtype=self.dtype
+        )(x)
+        kk = nn.Dense(
+            self.num_heads * self.head_dim, name="topk_k_proj", dtype=self.dtype
+        )(selected)
+        vv = nn.Dense(
+            self.num_heads * self.head_dim, name="topk_v_proj", dtype=self.dtype
+        )(selected)
+        q = _split_heads(q, self.num_heads, self.head_dim)
+        kk = _split_heads(kk, self.num_heads, self.head_dim)
+        vv = _split_heads(vv, self.num_heads, self.head_dim)
+
+        scale = 1.0 / jnp.sqrt(self.head_dim)
+        scores = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, kk, preferred_element_type=jnp.float32)
+            * scale
+        )
+        query_pos = jnp.arange(s)[None, None, :, None]
+        key_pos = top_k_indices[:, None, None, :]
+        scores = jnp.where(query_pos >= key_pos, scores, -1e9)
+        weights = jax.nn.softmax(scores, axis=-1).astype(vv.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, vv)
+        out = _merge_heads(out).astype(x.dtype)
+        return nn.Dense(d_model, name="topk_out_proj", dtype=self.dtype)(out)

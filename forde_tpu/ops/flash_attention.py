@@ -1,0 +1,400 @@
+"""Pallas TPU flash attention: causal and sliding-window, forward + backward.
+
+This is the TPU-native replacement for the reference's O(S^2)-materialized
+masked attention (src/forde/sparse_attention.py:84-96 computes the full
+(B, H, S, S) score tensor even for the sliding-window branch). Here scores
+are never materialized: the forward pass is an online-softmax kernel over
+key blocks; the backward pass is two kernels (dq, and dk/dv) using the saved
+log-sum-exp, the standard flash-attention-2 decomposition.
+
+Mask semantics match the reference exactly (equivalence-tested against
+``attention_ref``): causal = ``q_pos >= k_pos``; sliding window =
+``0 <= q_pos - k_pos < window_size`` (src/forde/sparse_attention.py:27-48).
+
+The jnp reference path in ``attention_ref`` is used off-TPU (tests run on a
+CPU mesh) and as ground truth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from forde_tpu.ops import attention_ref
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+MASK_VALUE = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q, block_k, window, causal
+):
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+    q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
+    seq_k = k_ref.shape[2]
+    n_kblocks = seq_k // block_k
+
+    if causal:
+        j_end = jax.lax.div(q_start + block_q - 1, block_k) + 1
+    else:
+        j_end = n_kblocks
+    if window is not None:
+        j_start = jnp.maximum(0, jax.lax.div(q_start - window + 1, block_k))
+    else:
+        j_start = 0
+
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, block_k)
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        diff = q_pos - k_pos
+        mask = jnp.ones_like(s, dtype=jnp.bool_)
+        if causal:
+            mask = mask & (diff >= 0)
+        if window is not None:
+            mask = mask & (diff < window)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    d = q.shape[-1]
+    init = (
+        jnp.full((block_q, 1), MASK_VALUE, jnp.float32),
+        jnp.zeros((block_q, 1), jnp.float32),
+        jnp.zeros((block_q, d), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(j_start, j_end, body, init)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    # lse is carried as (B, H, S, 1): the trailing singleton keeps the block
+    # tile (block_q, 1) legal on TPU (sublane divisible by 8, lane == full).
+    lse_ref[0, 0] = (m + jnp.log(l_safe)).astype(jnp.float32)
+
+
+def _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret):
+    b, h, s, d = q.shape
+    grid = (b, h, s // block_q)
+    # Keep K/V in VMEM for the whole (b, h) program; blocks are streamed from
+    # there by the fori_loop.
+    kv_spec = pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32),
+    ]
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+        window=window,
+        causal=causal,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            kv_spec,
+            kv_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale, block_q, block_k, window, causal,
+):
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (block_q, 1)
+    delta = delta_ref[0, 0]
+    seq_k = k_ref.shape[2]
+    n_kblocks = seq_k // block_k
+
+    if causal:
+        j_end = jax.lax.div(q_start + block_q - 1, block_k) + 1
+    else:
+        j_end = n_kblocks
+    if window is not None:
+        j_start = jnp.maximum(0, jax.lax.div(q_start - window + 1, block_k))
+    else:
+        j_start = 0
+
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(j, dq):
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        diff = q_pos - k_pos
+        mask = jnp.ones_like(s, dtype=jnp.bool_)
+        if causal:
+            mask = mask & (diff >= 0)
+        if window is not None:
+            mask = mask & (diff < window)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq = dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dq
+
+    d = q.shape[-1]
+    dq = jax.lax.fori_loop(j_start, j_end, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, block_q, block_k, window, causal,
+):
+    ki = pl.program_id(2)
+    k_start = ki * block_k
+    k = k_ref[0, 0].astype(jnp.float32)  # (block_k, D)
+    v = v_ref[0, 0].astype(jnp.float32)
+    seq_q = q_ref.shape[2]
+    n_qblocks = seq_q // block_q
+
+    if causal:
+        i_start = jax.lax.div(k_start, block_q)
+    else:
+        i_start = 0
+    if window is not None:
+        i_end = jnp.minimum(
+            n_qblocks, jax.lax.div(k_start + block_k - 1 + window - 1, block_q) + 1
+        )
+    else:
+        i_end = n_qblocks
+
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]  # (block_q, 1)
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, block_k)
+        q_pos = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        diff = q_pos - k_pos
+        mask = jnp.ones_like(s, dtype=jnp.bool_)
+        if causal:
+            mask = mask & (diff >= 0)
+        if window is not None:
+            mask = mask & (diff < window)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (block_q, block_k)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    d = k.shape[-1]
+    init = (jnp.zeros((block_k, d), jnp.float32), jnp.zeros((block_k, d), jnp.float32))
+    dk, dv = jax.lax.fori_loop(i_start, i_end, body, init)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_pallas(q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret):
+    b, h, s, d = q.shape
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (B, H, S, 1)
+
+    full_spec = pl.BlockSpec((1, 1, s, d), lambda bi, hi, xi: (bi, hi, 0, 0))
+    full_vec = pl.BlockSpec((1, 1, s, 1), lambda bi, hi, xi: (bi, hi, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            window=window, causal=causal,
+        ),
+        grid=(b, h, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            full_spec,
+            full_spec,
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            window=window, causal=causal,
+        ),
+        grid=(b, h, s // block_k),
+        in_specs=[
+            full_spec,
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            full_spec,
+            full_vec,
+            full_vec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper with padding
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention_padded(
+    q, k, v, scale, window, causal, block_q, block_k, interpret
+):
+    o, _ = _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret)
+    return o
+
+
+def _flash_fwd(q, k, v, scale, window, causal, block_q, block_k, interpret):
+    o, lse = _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd(scale, window, causal, block_q, block_k, interpret, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = _bwd_pallas(
+        q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret
+    )
+    return dq, dk, dv
+
+
+_flash_attention_padded.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    window_size: Optional[int] = None,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Flash attention over (B, H, S, D) with causal/sliding-window masking.
+
+    ``impl``: "auto" (Pallas on TPU, jnp reference elsewhere), "pallas",
+    "interpret" (Pallas in interpreter mode, for tests), or "reference".
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if impl == "reference":
+        if window_size is not None and causal:
+            return attention_ref.sliding_window_attention_ref(
+                q, k, v, window_size, scale=scale
+            )
+        if causal:
+            return attention_ref.causal_attention_ref(q, k, v, scale=scale)
+        return attention_ref.mha_reference(q, k, v, scale=scale)
+
+    interpret = impl == "interpret"
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = 1.0 / float(d) ** 0.5
+    scale = float(scale)
+
+    block_q = min(block_q, _ceil_to(s, 8))
+    block_k = min(block_k, _ceil_to(s, 8))
+    s_pad = _ceil_to(s, max(block_q, block_k))
+    d_pad = max(_ceil_to(d, 128), 128)
+    if s_pad != s or d_pad != d:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, d_pad - d)]
+        qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+    else:
+        qp, kp, vp = q, k, v
+    # Padded key positions sit *after* every real query position, so the
+    # causal mask already excludes them. Non-causal full attention over
+    # padded keys would be wrong; guard it.
+    if not causal and s_pad != s:
+        raise ValueError("non-causal flash attention requires S divisible by block")
+    o = _flash_attention_padded(
+        qp, kp, vp, scale, window_size, causal, block_q, block_k, interpret
+    )
+    return o[:, :, :s, :d]
