@@ -1,0 +1,52 @@
+"""Device prefetch: overlap host batch assembly with device compute.
+
+The reference blocks the step loop on a synchronous ``jnp.array(batch)``
+host->device copy every step (src/training/train.py:330-332). Here a
+background thread assembles batches and enqueues async device transfers so
+the next batch is already in HBM when the step finishes — the host side of
+the double-buffering story (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+
+def prefetch_to_device(
+    iterator: Iterator,
+    size: int = 2,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Iterator:
+    """Wrap a host batch iterator with a lookahead device-transfer queue.
+
+    ``sharding``: optional target sharding (e.g. batch sharded over the
+    ``data`` mesh axis); defaults to the default device.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(x, sharding), batch
+                    )
+                else:
+                    batch = jax.tree.map(jax.device_put, batch)
+                q.put(batch)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
