@@ -1,0 +1,161 @@
+"""Vision-language (image, caption) data pipelines.
+
+Parity target: the reference's Conceptual Captions downloader
+(src/data/download_to_drive.py) which records the preprocessing contract:
+224x224x3 float32 images (:173), bert-base-uncased tokenization (:122),
+padded input_ids/attention_mask with max length 64 (:52-64), per-example
+failure tolerance (:47-49).
+
+TPU-first differences: the host workers only fetch/decode; resize +
+normalize run vectorized in numpy per batch (and could be pushed on-device);
+batches flow through the same device-prefetch path as the LM pipeline.
+Synthetic data is the default stand-in (the reference's dummy-data
+equivalent) so everything is testable and benchmarkable offline.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+MAX_TEXT_LENGTH = 64  # reference download_to_drive.py:52-64
+IMAGE_SIZE = 224  # reference download_to_drive.py:173
+
+
+class SyntheticVLDataset:
+    """Seeded random (image, caption-token) pairs for tests/benchmarks."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        num_batches: int = 100,
+        image_size: int = IMAGE_SIZE,
+        text_len: int = MAX_TEXT_LENGTH,
+        vocab_size: int = 30522,
+        seed: int = 42,
+    ):
+        self.batch_size = batch_size
+        self.num_batches = num_batches
+        self.image_size = image_size
+        self.text_len = text_len
+        self.vocab_size = vocab_size
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed)
+        for _ in range(self.num_batches):
+            lengths = rng.randint(4, self.text_len + 1, size=self.batch_size)
+            input_ids = np.zeros((self.batch_size, self.text_len), np.int32)
+            mask = np.zeros((self.batch_size, self.text_len), np.int32)
+            for i, ln in enumerate(lengths):
+                input_ids[i, :ln] = rng.randint(1, self.vocab_size, size=ln)
+                mask[i, :ln] = 1
+            yield {
+                "image": rng.rand(
+                    self.batch_size, self.image_size, self.image_size, 3
+                ).astype(np.float32),
+                "input_ids": input_ids,
+                "attention_mask": mask,
+            }
+
+
+def process_image(img, image_size: int = IMAGE_SIZE) -> np.ndarray:
+    """Resize to (image_size, image_size, 3) float32 in [0, 1] — the deleted
+    preprocessing contract (download_to_drive.py:12 imports this symbol)."""
+    from PIL import Image  # lazy; only needed on the real ingest path
+
+    if not isinstance(img, Image.Image):
+        img = Image.fromarray(np.asarray(img))
+    img = img.convert("RGB").resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def create_vl_dataset(
+    batch_size: int,
+    num_batches: Optional[int] = None,
+    image_size: int = IMAGE_SIZE,
+    text_len: int = MAX_TEXT_LENGTH,
+    tokenizer_name: str = "bert-base-uncased",
+    dataset_name: str = "google-research-datasets/conceptual_captions",
+    fetch_workers: int = 16,
+):
+    """Streaming Conceptual Captions pipeline.
+
+    Image URLs are fetched by a thread pool (the reference's
+    ThreadPoolExecutor pattern, download_to_drive.py:125-160), failures are
+    skipped per-example (:47-49), captions are BERT-tokenized to padded
+    (input_ids, attention_mask). Falls back to synthetic data when the hub
+    or network is unavailable.
+    """
+    try:
+        import io
+        from concurrent.futures import ThreadPoolExecutor
+
+        import datasets  # type: ignore
+        import requests  # type: ignore
+        from transformers import AutoTokenizer  # type: ignore
+
+        tokenizer = AutoTokenizer.from_pretrained(tokenizer_name)
+        raw = datasets.load_dataset(dataset_name, streaming=True, split="train")
+
+        def fetch_one(example):
+            try:
+                resp = requests.get(example["image_url"], timeout=5)
+                resp.raise_for_status()
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(resp.content))
+                return process_image(img, image_size), example["caption"]
+            except Exception:
+                return None
+
+        def batches():
+            produced = 0
+            pool = ThreadPoolExecutor(max_workers=fetch_workers)
+            images, captions = [], []
+            it = iter(raw)
+            while True:
+                chunk = []
+                try:
+                    for _ in range(batch_size * 2):
+                        chunk.append(next(it))
+                except StopIteration:
+                    if not chunk:
+                        return
+                for result in pool.map(fetch_one, chunk):
+                    if result is None:
+                        continue
+                    images.append(result[0])
+                    captions.append(result[1])
+                    if len(images) == batch_size:
+                        tok = tokenizer(
+                            captions,
+                            truncation=True,
+                            max_length=text_len,
+                            padding="max_length",
+                            return_tensors="np",
+                        )
+                        yield {
+                            "image": np.stack(images),
+                            "input_ids": tok["input_ids"].astype(np.int32),
+                            "attention_mask": tok["attention_mask"].astype(
+                                np.int32
+                            ),
+                        }
+                        images, captions = [], []
+                        produced += 1
+                        if num_batches is not None and produced >= num_batches:
+                            return
+
+        # Probe one example so failures fall back immediately.
+        next(iter(raw))
+        return batches()
+    except Exception as exc:  # noqa: BLE001 — degrade like the reference
+        print(f"[forde_tpu.data.vl] falling back to synthetic VL data: {exc}")
+        return SyntheticVLDataset(
+            batch_size, num_batches or 100, image_size, text_len
+        )

@@ -1,0 +1,219 @@
+"""FORDE dual encoder: CLIP-style VisionTransformer + TextTransformer with
+StatefulLayer blocks and a global-batch contrastive loss.
+
+Spec: reference README.md:26-56 and BASELINE.json configs (the reference
+repo removed this implementation in its LLM pivot; the preprocessing
+contract survives in src/data/download_to_drive.py — 224x224x3 float32
+images, bert-base-uncased input_ids/attention_mask, max text length 64).
+
+TPU-first design:
+  * patch embedding is a reshape + one Dense (a single MXU matmul — no conv
+    needed for non-overlapping patches);
+  * towers run bf16-capable flash attention; StatefulLayers use the fused
+    Pallas multiplex kernel;
+  * the contrastive loss computes the full global similarity matrix under
+    jit — with the batch sharded over the ``data`` mesh axis XLA inserts
+    the embedding all-gather over ICI automatically (the explicit
+    shard_map variant lives in parallel/contrastive.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from forde_tpu.core.config import DualEncoderConfig, TowerConfig
+from forde_tpu.nn.transformer import FORDETransformerBlock
+
+
+class VisionTransformer(nn.Module):
+    """ViT tower: patchify -> [CLS] + learned pos embed -> FORDE blocks ->
+    final norm -> CLS output (README.md:30-34)."""
+
+    config: DualEncoderConfig
+    tower: TowerConfig
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        cfg, tw = self.config, self.tower
+        dtype = cfg.dtypes.compute
+        b, h, w, c = images.shape
+        p = cfg.patch_size
+        nh, nw = h // p, w // p
+
+        # Non-overlapping patchify as reshape + Dense (one MXU matmul).
+        patches = images.reshape(b, nh, p, nw, p, c)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * nw, p * p * c)
+        x = nn.Dense(tw.d_model, name="patch_embed", dtype=dtype)(
+            patches.astype(dtype)
+        )
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, tw.d_model)
+        )
+        x = jnp.concatenate([jnp.tile(cls.astype(dtype), (b, 1, 1)), x], axis=1)
+        num_tokens = nh * nw + 1
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, num_tokens, tw.d_model),
+        )
+        x = x + pos.astype(dtype)
+
+        for i in range(tw.num_layers):
+            x = FORDETransformerBlock(
+                num_heads=tw.num_heads,
+                head_dim=tw.head_dim,
+                mlp_hidden_dim=tw.mlp_hidden_dim,
+                d_model=tw.d_model,
+                specialist_gate=cfg.specialist_gate,
+                stateful_impl=cfg.stateful_kernel_impl,
+                dropout_rate=tw.dropout_rate,
+                dtype=dtype,
+                name=f"block_{i}",
+            )(x, deterministic=deterministic)
+
+        x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
+        return x[:, 0, :]  # CLS
+
+
+class TextTransformer(nn.Module):
+    """Text tower over BERT-style (input_ids, attention_mask); the CLS
+    position (index 0) is the sentence embedding (README.md:32-34)."""
+
+    config: DualEncoderConfig
+    tower: TowerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg, tw = self.config, self.tower
+        dtype = cfg.dtypes.compute
+        b, s = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), jnp.int32)
+
+        x = nn.Embed(
+            num_embeddings=cfg.vocab_size,
+            features=tw.d_model,
+            dtype=dtype,
+            name="token_embed",
+        )(input_ids)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, cfg.max_text_len, tw.d_model),
+        )
+        x = x + pos[:, :s].astype(dtype)
+
+        for i in range(tw.num_layers):
+            x = FORDETransformerBlock(
+                num_heads=tw.num_heads,
+                head_dim=tw.head_dim,
+                mlp_hidden_dim=tw.mlp_hidden_dim,
+                d_model=tw.d_model,
+                specialist_gate=cfg.specialist_gate,
+                stateful_impl=cfg.stateful_kernel_impl,
+                dropout_rate=tw.dropout_rate,
+                dtype=dtype,
+                name=f"block_{i}",
+            )(x, key_padding_mask=attention_mask, deterministic=deterministic)
+
+        x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
+        return x[:, 0, :]  # CLS
+
+
+class FORDEDualEncoder(nn.Module):
+    """Two towers + projection heads into the shared embedding space +
+    learnable temperature (README.md:30-35)."""
+
+    config: DualEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        img_feat = VisionTransformer(config=cfg, tower=cfg.vision, name="vision")(
+            images, deterministic
+        )
+        txt_feat = TextTransformer(config=cfg, tower=cfg.text, name="text")(
+            input_ids, attention_mask, deterministic
+        )
+        img_emb = nn.Dense(
+            cfg.embed_dim, use_bias=False, name="image_projection",
+            dtype=cfg.dtypes.compute,
+        )(img_feat)
+        txt_emb = nn.Dense(
+            cfg.embed_dim, use_bias=False, name="text_projection",
+            dtype=cfg.dtypes.compute,
+        )(txt_feat)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda _key: jnp.array(cfg.logit_scale_init, jnp.float32),
+        )
+        return img_emb.astype(jnp.float32), txt_emb.astype(jnp.float32), logit_scale
+
+    def encode_image(self, images, deterministic: bool = True):
+        feat = VisionTransformer(
+            config=self.config, tower=self.config.vision, name="vision"
+        )(images, deterministic)
+        return nn.Dense(
+            self.config.embed_dim, use_bias=False, name="image_projection",
+            dtype=self.config.dtypes.compute,
+        )(feat).astype(jnp.float32)
+
+    def encode_text(self, input_ids, attention_mask=None, deterministic=True):
+        feat = TextTransformer(
+            config=self.config, tower=self.config.text, name="text"
+        )(input_ids, attention_mask, deterministic)
+        return nn.Dense(
+            self.config.embed_dim, use_bias=False, name="text_projection",
+            dtype=self.config.dtypes.compute,
+        )(feat).astype(jnp.float32)
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+
+
+def clip_contrastive_loss(
+    img_emb: jnp.ndarray,
+    txt_emb: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    max_scale: float = 100.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Symmetric InfoNCE over the (global) batch (README.md:35).
+
+    Computes the full cosine-similarity matrix; under pjit with batch
+    sharded on ``data``, XLA lowers the cross-batch matmul to an embedding
+    all-gather over ICI + local matmuls — no hand-written collective.
+    """
+    img = l2_normalize(img_emb.astype(jnp.float32))
+    txt = l2_normalize(txt_emb.astype(jnp.float32))
+    scale = jnp.minimum(jnp.exp(logit_scale), max_scale)
+    logits = img @ txt.T * scale  # (B, B)
+    labels = jnp.arange(logits.shape[0])
+    loss_i = -jnp.mean(jax.nn.log_softmax(logits, axis=1)[labels, labels])
+    loss_t = -jnp.mean(jax.nn.log_softmax(logits, axis=0)[labels, labels])
+    loss = (loss_i + loss_t) / 2
+    acc_i = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+    acc_t = jnp.mean(jnp.argmax(logits, axis=0) == labels)
+    return loss, {
+        "contrastive/acc_img": acc_i,
+        "contrastive/acc_txt": acc_t,
+        "contrastive/logit_scale": scale,
+    }

@@ -1,0 +1,95 @@
+"""StatefulLayer: the adaptive MLP replacement of the FORDE dual encoder.
+
+Spec: reference README.md:47-56 (no code exists in the reference — the
+dual-encoder implementation was removed in its LLM pivot, SURVEY.md §0).
+
+  1. Reads cached integer per-neuron ``assignments`` from the ``brain``
+     variable collection (the "brain map" the slow loop rewrites).
+  2. Multiplexes each neuron through relu / tanh / straight-through
+     binary_step by assignment, plus a gated residual (specialist gate
+     0.1) — fused into one Pallas VMEM pass (ops/stateful.py).
+  3. Silently logs activation statistics (Hoyer gini, GDP, variance) into
+     the ``stats_buffer`` collection, and exposes a gradient tap
+     (``nn.perturb``) so the train step can harvest dL/dz for the
+     grad_gini / grad_gdp statistics (the grad-sink mechanism prototyped in
+     reference tests/reproduce_grad_sink.py:7-68 but never wired in).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from forde_tpu.brain.sensing import hoyer_sparsity
+from forde_tpu.ops.stateful import stateful_multiplex
+
+GRAD_TAP_NAME = "z_tap"
+
+
+def activation_stats(z: jnp.ndarray) -> jnp.ndarray:
+    """Per-neuron [act_gini, act_gdp, act_var] for one step; z (..., F)."""
+    f = z.shape[-1]
+    flat = z.reshape(-1, f).astype(jnp.float32)
+    return jnp.stack(
+        [
+            hoyer_sparsity(flat, axis=0),
+            jnp.mean(jnp.abs(flat), axis=0),
+            jnp.var(flat, axis=0),
+        ],
+        axis=-1,
+    )
+
+
+def gradient_stats(g: jnp.ndarray) -> jnp.ndarray:
+    """Per-neuron [grad_gini, grad_gdp] from a dL/dz tap; g (..., F)."""
+    f = g.shape[-1]
+    flat = g.reshape(-1, f).astype(jnp.float32)
+    return jnp.stack(
+        [hoyer_sparsity(flat, axis=0), jnp.mean(jnp.abs(flat), axis=0)], axis=-1
+    )
+
+
+class StatefulLayer(nn.Module):
+    """Adaptive MLP: Dense -> multiplexed activation + gated residual ->
+    Dense, with brain-map state and fast-loop sensing."""
+
+    hidden_dim: int
+    d_model: int
+    specialist_gate: float = 0.1
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    sense: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        z = nn.Dense(self.hidden_dim, name="w_in", dtype=self.dtype)(x)
+
+        assignments = self.variable(
+            "brain",
+            "neuron_assignments",
+            lambda: jnp.zeros((self.hidden_dim,), jnp.int32),
+        )
+
+        if self.sense:
+            # Gradient tap: dL/dz of this exact tensor is recoverable by
+            # differentiating w.r.t. the 'perturbations' collection.
+            z = self.perturb(GRAD_TAP_NAME, z)
+
+            act_stats = self.variable(
+                "stats_buffer",
+                "act_stats",
+                lambda: jnp.zeros((self.hidden_dim, 3), jnp.float32),
+            )
+            step_count = self.variable(
+                "stats_buffer", "step_count", lambda: jnp.array(0, jnp.int32)
+            )
+            if not self.is_initializing():
+                act_stats.value = act_stats.value + activation_stats(z)
+                step_count.value = step_count.value + 1
+
+        y = stateful_multiplex(
+            z, assignments.value, self.specialist_gate, impl=self.impl
+        )
+        return nn.Dense(self.d_model, name="w_out", dtype=self.dtype)(
+            y.astype(self.dtype)
+        )

@@ -42,13 +42,16 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q, block_k, window, causal
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q, block_k, window, causal,
+    kv_len,
 ):
     qi = pl.program_id(2)
     q_start = qi * block_q
     q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
     seq_k = k_ref.shape[2]
     n_kblocks = seq_k // block_k
+    if kv_len is not None:
+        n_kblocks = pl.cdiv(kv_len, block_k)
 
     if causal:
         j_end = jax.lax.div(q_start + block_q - 1, block_k) + 1
@@ -77,6 +80,8 @@ def _fwd_kernel(
             mask = mask & (diff >= 0)
         if window is not None:
             mask = mask & (diff < window)
+        if kv_len is not None:
+            mask = mask & (k_pos < kv_len)
         s = jnp.where(mask, s, MASK_VALUE)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -103,7 +108,7 @@ def _fwd_kernel(
     lse_ref[0, 0] = (m + jnp.log(l_safe)).astype(jnp.float32)
 
 
-def _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret):
+def _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len):
     b, h, s, d = q.shape
     grid = (b, h, s // block_q)
     # Keep K/V in VMEM for the whole (b, h) program; blocks are streamed from
@@ -120,6 +125,7 @@ def _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret):
         block_k=block_k,
         window=window,
         causal=causal,
+        kv_len=kv_len,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -146,7 +152,7 @@ def _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret):
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, block_q, block_k, window, causal,
+    *, scale, block_q, block_k, window, causal, kv_len,
 ):
     qi = pl.program_id(2)
     q_start = qi * block_q
@@ -156,6 +162,8 @@ def _bwd_dq_kernel(
     delta = delta_ref[0, 0]
     seq_k = k_ref.shape[2]
     n_kblocks = seq_k // block_k
+    if kv_len is not None:
+        n_kblocks = pl.cdiv(kv_len, block_k)
 
     if causal:
         j_end = jax.lax.div(q_start + block_q - 1, block_k) + 1
@@ -183,6 +191,8 @@ def _bwd_dq_kernel(
             mask = mask & (diff >= 0)
         if window is not None:
             mask = mask & (diff < window)
+        if kv_len is not None:
+            mask = mask & (k_pos < kv_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -200,7 +210,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, block_q, block_k, window, causal,
+    *, scale, block_q, block_k, window, causal, kv_len,
 ):
     ki = pl.program_id(2)
     k_start = ki * block_k
@@ -240,6 +250,8 @@ def _bwd_dkv_kernel(
             mask = mask & (diff >= 0)
         if window is not None:
             mask = mask & (diff < window)
+        if kv_len is not None:
+            mask = mask & (k_pos < kv_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (block_q, block_k)
         dv = dv + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -260,7 +272,9 @@ def _bwd_dkv_kernel(
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_pallas(q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret):
+def _bwd_pallas(
+    q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret, kv_len
+):
     b, h, s, d = q.shape
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
@@ -272,7 +286,7 @@ def _bwd_pallas(q, k, v, o, lse, do, scale, window, causal, block_q, block_k, in
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, block_q=block_q, block_k=block_k,
-            window=window, causal=causal,
+            window=window, causal=causal, kv_len=kv_len,
         ),
         grid=(b, h, s // block_q),
         in_specs=[
@@ -293,7 +307,7 @@ def _bwd_pallas(q, k, v, o, lse, do, scale, window, causal, block_q, block_k, in
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, block_q=block_q, block_k=block_k,
-            window=window, causal=causal,
+            window=window, causal=causal, kv_len=kv_len,
         ),
         grid=(b, h, s // block_k),
         in_specs=[
@@ -322,23 +336,28 @@ def _bwd_pallas(q, k, v, o, lse, do, scale, window, causal, block_q, block_k, in
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_attention_padded(
-    q, k, v, scale, window, causal, block_q, block_k, interpret
+    q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
 ):
-    o, _ = _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret)
+    o, _ = _fwd_pallas(
+        q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
+    )
     return o
 
 
-def _flash_fwd(q, k, v, scale, window, causal, block_q, block_k, interpret):
-    o, lse = _fwd_pallas(q, k, v, scale, window, causal, block_q, block_k, interpret)
+def _flash_fwd(q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len):
+    o, lse = _fwd_pallas(
+        q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
+    )
     return o, (q, k, v, o, lse)
 
 
-def _flash_bwd(scale, window, causal, block_q, block_k, interpret, res, do):
+def _flash_bwd(scale, window, causal, block_q, block_k, interpret, kv_len, res, do):
     q, k, v, o, lse = res
     dq, dk, dv = _bwd_pallas(
-        q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret
+        q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret,
+        kv_len,
     )
     return dq, dk, dv
 
@@ -390,11 +409,10 @@ def flash_attention(
     else:
         qp, kp, vp = q, k, v
     # Padded key positions sit *after* every real query position, so the
-    # causal mask already excludes them. Non-causal full attention over
-    # padded keys would be wrong; guard it.
-    if not causal and s_pad != s:
-        raise ValueError("non-causal flash attention requires S divisible by block")
+    # causal mask already excludes them; for non-causal attention the
+    # static kv_len bound masks them instead.
+    kv_len = s if (not causal and s_pad != s) else None
     o = _flash_attention_padded(
-        qp, kp, vp, scale, window_size, causal, block_q, block_k, interpret
+        qp, kp, vp, scale, window_size, causal, block_q, block_k, interpret, kv_len
     )
     return o[:, :, :s, :d]

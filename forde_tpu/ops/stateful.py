@@ -1,0 +1,164 @@
+"""Fused StatefulLayer op: k-way activation multiplex + straight-through
+binary step + gated residual in a single VMEM pass.
+
+This is the actuator at the heart of the FORDE dual encoder
+(reference README.md:47-56 — no code exists in the reference; the spec is):
+
+    F(z) = relu(z)         where assignment == 0  (Generalist)
+           tanh(z)         where assignment == 1  (Pooling)
+           binary_step(z)  where assignment == 2  (Specialist)
+    out  = F(z) + gate * z,   gate = 0.1 for specialists else 1.0
+
+The jnp reference path composes three jnp.where passes; the Pallas kernel
+does one read + one write of the activation tensor (the op is bandwidth-
+bound, so fusing the multiplex, step, and residual halves HBM traffic vs
+an unfused chain). The straight-through gradient for the specialist branch
+is defined once in the shared custom_vjp:
+
+    d out / d z = relu'(z)          (gen)     = 1[z > 0]
+                  1 - tanh(z)^2     (pool)
+                  1                 (spec, straight-through)
+                + gate
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+GENERALIST, POOLING, SPECIALIST = 0, 1, 2
+
+
+def _multiplex_fwd_math(z, assignments, specialist_gate):
+    """Shared forward math on (rows, F) blocks; assignments (1, F)."""
+    zf = z.astype(jnp.float32)
+    fz = jnp.where(
+        assignments == GENERALIST,
+        jnp.maximum(zf, 0.0),
+        jnp.where(
+            assignments == POOLING,
+            jnp.tanh(zf),
+            (zf > 0).astype(jnp.float32),
+        ),
+    )
+    gate = jnp.where(assignments == SPECIALIST, specialist_gate, 1.0)
+    return fz + gate * zf
+
+
+def _multiplex_bwd_math(z, assignments, specialist_gate, g):
+    zf = z.astype(jnp.float32)
+    dfdz = jnp.where(
+        assignments == GENERALIST,
+        (zf > 0).astype(jnp.float32),
+        jnp.where(
+            assignments == POOLING,
+            1.0 - jnp.tanh(zf) ** 2,
+            1.0,  # straight-through binary step
+        ),
+    )
+    gate = jnp.where(assignments == SPECIALIST, specialist_gate, 1.0)
+    return (g.astype(jnp.float32) * (dfdz + gate)).astype(z.dtype)
+
+
+def _fwd_kernel(z_ref, a_ref, o_ref, *, specialist_gate):
+    o_ref[:] = _multiplex_fwd_math(
+        z_ref[:], a_ref[:], specialist_gate
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(z_ref, a_ref, g_ref, dz_ref, *, specialist_gate):
+    dz_ref[:] = _multiplex_bwd_math(
+        z_ref[:], a_ref[:], specialist_gate, g_ref[:]
+    )
+
+
+def _pallas_apply(kernel, out_dtype, z2d, a2d, *extra, interpret):
+    n, f = z2d.shape
+    block_n = min(512, n)
+    # pad rows to a block multiple; padded rows are sliced off after.
+    n_pad = ((n + block_n - 1) // block_n) * block_n
+    if n_pad != n:
+        z2d = jnp.pad(z2d, ((0, n_pad - n), (0, 0)))
+        extra = tuple(jnp.pad(e, ((0, n_pad - n), (0, 0))) for e in extra)
+    grid = (n_pad // block_n,)
+    row_spec = pl.BlockSpec((block_n, f), lambda i: (i, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec, pl.BlockSpec((1, f), lambda i: (0, 0))]
+        + [row_spec] * len(extra),
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), out_dtype),
+        interpret=interpret,
+    )(z2d, a2d, *extra)
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _stateful_multiplex(z, assignments, specialist_gate, impl):
+    return _forward(z, assignments, specialist_gate, impl)
+
+
+def _forward(z, assignments, specialist_gate, impl):
+    shape = z.shape
+    f = shape[-1]
+    a2d = assignments.reshape(1, f)
+    if impl == "reference":
+        return _multiplex_fwd_math(
+            z.reshape(-1, f), a2d, specialist_gate
+        ).astype(z.dtype).reshape(shape)
+    out = _pallas_apply(
+        functools.partial(_fwd_kernel, specialist_gate=specialist_gate),
+        z.dtype,
+        z.reshape(-1, f),
+        a2d,
+        interpret=(impl == "interpret"),
+    )
+    return out.reshape(shape)
+
+
+def _stateful_fwd(z, assignments, specialist_gate, impl):
+    return _forward(z, assignments, specialist_gate, impl), (z, assignments)
+
+
+def _stateful_bwd(specialist_gate, impl, res, g):
+    z, assignments = res
+    shape = z.shape
+    f = shape[-1]
+    a2d = assignments.reshape(1, f)
+    if impl == "reference":
+        dz = _multiplex_bwd_math(
+            z.reshape(-1, f), a2d, specialist_gate, g.reshape(-1, f)
+        )
+    else:
+        dz = _pallas_apply(
+            functools.partial(_bwd_kernel, specialist_gate=specialist_gate),
+            z.dtype,
+            z.reshape(-1, f),
+            a2d,
+            g.reshape(-1, f),
+            interpret=(impl == "interpret"),
+        )
+    return dz.reshape(shape), None
+
+
+_stateful_multiplex.defvjp(_stateful_fwd, _stateful_bwd)
+
+
+def stateful_multiplex(
+    z: jnp.ndarray,
+    assignments: jnp.ndarray,
+    specialist_gate: float = 0.1,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Apply the FORDE neuron multiplex to (..., F) pre-activations.
+
+    ``assignments``: int32 (F,) neuron types (0 gen / 1 pool / 2 spec).
+    ``impl``: "auto" (Pallas on TPU), "pallas", "interpret", "reference".
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+    return _stateful_multiplex(z, assignments.astype(jnp.int32), float(specialist_gate), impl)

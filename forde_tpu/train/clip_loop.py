@@ -1,0 +1,205 @@
+"""Dual-encoder (CLIP) training driver + CLI.
+
+Covers the reference's vision-language capability set end to end
+(README.md:22-66 + BASELINE.json configs): streamed Conceptual Captions
+(synthetic fallback), FORDE towers with StatefulLayers, contrastive
+training on a global batch, the two-timescale brain loop (GMM or
+Forde-lite), and the mandated Brain Scan / Feature Space / Census
+artifacts after every slow loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from datetime import datetime
+from typing import Optional
+
+import jax
+import numpy as np
+
+from forde_tpu.brain.neuron_slow_loop import neuron_slow_loop_step
+from forde_tpu.core import mesh as mesh_lib
+from forde_tpu.core.config import (
+    BrainConfig,
+    DTypePolicy,
+    DualEncoderConfig,
+    vit_b16_config,
+    vit_tiny_config,
+)
+from forde_tpu.data.prefetch import prefetch_to_device
+from forde_tpu.data.vl import SyntheticVLDataset, create_vl_dataset
+from forde_tpu.obs.metrics import MetricsWriter, ThroughputMeter
+from forde_tpu.obs.plots import plot_brain_scan, plot_census, plot_feature_space
+from forde_tpu.train import checkpoint as ckpt_lib
+from forde_tpu.train.clip_step import clip_train_step, create_clip_train_state
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the FORDE dual encoder")
+    p.add_argument("--preset", choices=["tiny", "vit_b16", "custom"],
+                   default="tiny")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--text_len", type=int, default=64)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--num_steps", type=int, default=1000)
+    p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--slow_loop_interval", type=int, default=100)
+    p.add_argument("--forde_lite", action="store_true",
+                   help="rule-based assignments instead of GMM (README.md:58)")
+    p.add_argument("--use_dummy_data", action="store_true")
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--experiment_name", type=str, default="forde_tpu_clip")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--plots_dir", type=str, default="plots")
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    # custom-preset model knobs
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--embed_dim", type=int, default=512)
+    return p
+
+
+def config_from_args(args) -> DualEncoderConfig:
+    if args.preset == "vit_b16":
+        cfg = vit_b16_config()
+    elif args.preset == "tiny":
+        cfg = vit_tiny_config()
+    else:
+        cfg = DualEncoderConfig(
+            image_size=args.image_size,
+            patch_size=args.patch_size,
+            embed_dim=args.embed_dim,
+        )
+    if args.forde_lite:
+        cfg = cfg.replace(forde_lite=True)
+    if args.bf16:
+        cfg = cfg.replace(dtypes=DTypePolicy.bf16())
+    if args.text_len:
+        cfg = cfg.replace(max_text_len=args.text_len)
+    return cfg
+
+
+def train(args: Optional[argparse.Namespace] = None) -> dict:
+    if args is None:
+        args = build_parser().parse_args([])
+    cfg = config_from_args(args)
+    brain = BrainConfig()
+    mesh = mesh_lib.create_mesh()
+
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = create_clip_train_state(
+        cfg, init_rng, args.learning_rate, args.weight_decay,
+        batch_size=args.batch_size, text_len=args.text_len,
+    )
+
+    manager = None
+    if args.checkpoint_dir:
+        manager = ckpt_lib.CheckpointManager(args.checkpoint_dir, keep=2)
+        if args.resume and manager.latest_step() is not None:
+            state = manager.restore(state)
+            print(f"resumed from step {int(state.step)}")
+
+    writer = MetricsWriter(
+        f"runs/{args.experiment_name}_{datetime.now():%Y%m%d_%H%M%S}"
+    )
+    if args.use_dummy_data:
+        dataset = SyntheticVLDataset(
+            args.batch_size, args.num_steps, image_size=cfg.image_size,
+            text_len=args.text_len, vocab_size=cfg.vocab_size,
+        )
+    else:
+        dataset = create_vl_dataset(
+            args.batch_size, num_batches=args.num_steps,
+            image_size=cfg.image_size, text_len=args.text_len,
+        )
+
+    meter = ThroughputMeter(items_per_step=args.batch_size)
+    sharding = mesh_lib.batch_sharding(mesh)
+    step = int(state.step)
+    last = {}
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        for batch in prefetch_to_device(iter(dataset), sharding=sharding):
+            state, metrics = clip_train_step(state, batch)
+            step += 1
+            meter.step()
+
+            if step % args.log_interval == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                writer.scalars(last, step)
+                pps = meter.items_per_sec_per_chip
+                writer.scalar("Throughput/pairs_per_sec_per_chip", pps, step)
+                print(
+                    f"step {step}: loss {last['loss/contrastive']:.4f} "
+                    f"acc_i {last['contrastive/acc_img']:.2f} "
+                    f"grad_norm {last['training/grad_norm']:.2f} "
+                    f"{pps:,.0f} pairs/s/chip"
+                )
+
+            if args.slow_loop_interval > 0 and step % args.slow_loop_interval == 0:
+                rng, slow_key = jax.random.split(rng)
+                t0 = time.perf_counter()
+                new_brain, new_stats, new_grads, diag = neuron_slow_loop_step(
+                    state.brain, state.stats_buffer, state.grad_stats,
+                    state.grad_step_count, slow_key, brain=brain,
+                    forde_lite=cfg.forde_lite,
+                )
+                state = state.replace(
+                    brain=new_brain, stats_buffer=new_stats,
+                    grad_stats=new_grads,
+                    grad_step_count=state.grad_step_count * 0,
+                )
+                dt_ms = (time.perf_counter() - t0) * 1000
+                writer.scalar("SlowLoop/latency_ms", dt_ms, step)
+                mode = "Forde-lite" if cfg.forde_lite else "GMM"
+                print(f"[brain update @ {step}] mode={mode} {dt_ms:.0f}ms")
+                if args.plots_dir and not bool(diag["skipped"]):
+                    # one representative layer per tower for the artifacts
+                    for name, d in list(diag["layers"].items())[:2]:
+                        a = np.asarray(d["assignments"])
+                        gh = int(np.sqrt(a.size)) or 1
+                        while a.size % gh:
+                            gh -= 1
+                        tag = name.replace("/", "_")
+                        plot_brain_scan(a.reshape(gh, -1), 0, step,
+                                        f"{args.plots_dir}/{tag}")
+                        plot_feature_space(
+                            np.asarray(d["stats"])[:, :2], a, 0, step,
+                            f"{args.plots_dir}/{tag}",
+                            feature_names=("grad_gini", "grad_gdp"),
+                        )
+                        plot_census(a, 0, step, f"{args.plots_dir}/{tag}",
+                                    num_clusters=brain.num_clusters,
+                                    labels={0: "Generalist", 1: "Pooling",
+                                            2: "Specialist"})
+
+            if manager and step % max(args.slow_loop_interval, 100) == 0:
+                manager.save(step, state)
+            if step >= args.num_steps:
+                break
+    finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
+
+    if manager:
+        manager.save(step, state, force=True)
+        manager.wait()
+        manager.close()
+    writer.close()
+    return {"state": state, "final_metrics": last, "step": step,
+            "pairs_per_sec_per_chip": meter.items_per_sec_per_chip}
+
+
+def main():
+    train(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Fused StatefulLayer op + module tests: multiplex semantics, straight-
+through gradient, kernel-vs-reference equivalence, sensing accumulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forde_tpu.nn.stateful import StatefulLayer, activation_stats
+from forde_tpu.ops.binary_step import binary_step
+from forde_tpu.ops.stateful import stateful_multiplex
+
+
+def test_binary_step_forward_and_straight_through():
+    x = jnp.array([-2.0, -0.1, 0.0, 0.1, 3.0])
+    np.testing.assert_array_equal(
+        np.asarray(binary_step(x)), [0.0, 0.0, 0.0, 1.0, 1.0]
+    )
+    g = jax.grad(lambda x: (binary_step(x) * jnp.arange(5.0)).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g), np.arange(5.0))
+
+
+def test_multiplex_semantics():
+    """README.md:47-56: relu / tanh / binary_step by assignment; gated
+    residual with specialist gate 0.1."""
+    z = jnp.array([[-1.0, -1.0, -1.0], [2.0, 2.0, 2.0]])
+    a = jnp.array([0, 1, 2], jnp.int32)
+    out = stateful_multiplex(z, a, specialist_gate=0.1, impl="reference")
+    # gen: relu(-1)+1*(-1) = -1 ; relu(2)+2 = 4
+    # pool: tanh(-1)+(-1) ; tanh(2)+2
+    # spec: step(-1)+0.1*(-1) = -0.1 ; step(2)+0.1*2 = 1.2
+    expected = np.array(
+        [
+            [-1.0, np.tanh(-1.0) - 1.0, -0.1],
+            [4.0, np.tanh(2.0) + 2.0, 1.2],
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_multiplex_kernel_matches_reference_fwd_bwd():
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (4, 24, 96))
+    a = jax.random.randint(jax.random.PRNGKey(1), (96,), 0, 3)
+
+    out_ref = stateful_multiplex(z, a, 0.1, impl="reference")
+    out_k = stateful_multiplex(z, a, 0.1, impl="interpret")
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), atol=1e-6)
+
+    def loss(z, impl):
+        return jnp.sum(stateful_multiplex(z, a, 0.1, impl=impl) ** 2)
+
+    g_ref = jax.grad(lambda z: loss(z, "reference"))(z)
+    g_k = jax.grad(lambda z: loss(z, "interpret"))(z)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref), atol=1e-5)
+
+
+def test_stateful_layer_collections_and_sensing():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8, 16))
+    layer = StatefulLayer(hidden_dim=32, d_model=16, impl="reference")
+    variables = layer.init(key, x)
+    assert set(variables) >= {"params", "brain", "stats_buffer", "perturbations"}
+    assert variables["brain"]["neuron_assignments"].shape == (32,)
+    assert variables["perturbations"]["z_tap"].shape == (2, 8, 32)
+
+    out, updates = layer.apply(variables, x, mutable=["stats_buffer"])
+    assert out.shape == (2, 8, 16)
+    buf = updates["stats_buffer"]
+    assert int(buf["step_count"]) == 1
+    assert buf["act_stats"].shape == (32, 3)
+    assert float(jnp.abs(buf["act_stats"]).sum()) > 0
+
+    # gradient tap: dL/dz recoverable, matches closed form for sum loss
+    taps = {"z_tap": jnp.zeros((2, 8, 32))}
+
+    def f(taps):
+        y = layer.apply(
+            {
+                "params": variables["params"],
+                "brain": variables["brain"],
+                "stats_buffer": variables["stats_buffer"],
+                "perturbations": taps,
+            },
+            x,
+            mutable=["stats_buffer"],
+        )[0]
+        return jnp.sum(y)
+
+    tap_grad = jax.grad(f)(taps)["z_tap"]
+    assert tap_grad.shape == (2, 8, 32)
+    assert float(jnp.abs(tap_grad).sum()) > 0
+
+
+def test_assignments_change_function():
+    """Rewriting the brain map changes the layer's actual function."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 4, 16))
+    layer = StatefulLayer(hidden_dim=32, d_model=16, impl="reference", sense=False)
+    variables = layer.init(key, x)
+    out0 = layer.apply(variables, x)
+    new_brain = {"neuron_assignments": jnp.full((32,), 2, jnp.int32)}
+    out2 = layer.apply({"params": variables["params"], "brain": new_brain}, x)
+    assert float(jnp.abs(out0 - out2).max()) > 1e-3
+
+
+def test_activation_stats_sparse_neuron():
+    z = jnp.zeros((64, 8)).at[0, 0].set(10.0)
+    s = activation_stats(z)
+    assert float(s[0, 0]) > 0.9  # act_gini of the spiky neuron
+    assert float(s[1, 0]) == 0.0  # silent neuron
