@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from forde_tpu.brain.sensing import hoyer_sparsity
-from forde_tpu.ops.stateful import stateful_multiplex
+from forde_tpu.ops.stateful import grad_stat_tap, stateful_multiplex
 
 GRAD_TAP_NAME = "z_tap"
 
@@ -71,9 +71,23 @@ class StatefulLayer(nn.Module):
         )
 
         if self.sense:
-            # Gradient tap: dL/dz of this exact tensor is recoverable by
-            # differentiating w.r.t. the 'perturbations' collection.
-            z = self.perturb(GRAD_TAP_NAME, z)
+            # Gradient tap: differentiating the loss w.r.t. this (F, 2)
+            # slot yields per-neuron [grad_gini, grad_gdp] — the stats
+            # reduction runs inside the backward pass itself, so no
+            # (B, S, F) sink tensor ever exists (ops/stateful.grad_stat_tap).
+            # Availability mirrors nn.perturb: active at init, when the
+            # collection is supplied, or when it is mutable.
+            if (
+                self.is_initializing()
+                or self.has_variable("perturbations", GRAD_TAP_NAME)
+                or self.is_mutable_collection("perturbations")
+            ):
+                slot = self.variable(
+                    "perturbations",
+                    GRAD_TAP_NAME,
+                    lambda: jnp.zeros((self.hidden_dim, 2), jnp.float32),
+                )
+                z = grad_stat_tap(z, slot.value)
 
             act_stats = self.variable(
                 "stats_buffer",

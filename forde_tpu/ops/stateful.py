@@ -77,7 +77,10 @@ def _bwd_kernel(z_ref, a_ref, g_ref, dz_ref, *, specialist_gate):
 
 def _pallas_apply(kernel, out_dtype, z2d, a2d, *extra, interpret):
     n, f = z2d.shape
-    block_n = min(512, n)
+    # Size blocks to VMEM: fp32 intermediates x (inputs + grads + output) x
+    # double buffering must stay well under the ~16MB scoped limit.
+    rows_budget = max(8, (256 * 1024) // max(f, 1))
+    block_n = min(512, rows_budget // 8 * 8 or 8, max(n, 8))
     # pad rows to a block multiple; padded rows are sliced off after.
     n_pad = ((n + block_n - 1) // block_n) * block_n
     if n_pad != n:
@@ -157,8 +160,62 @@ def stateful_multiplex(
     """Apply the FORDE neuron multiplex to (..., F) pre-activations.
 
     ``assignments``: int32 (F,) neuron types (0 gen / 1 pool / 2 spec).
-    ``impl``: "auto" (Pallas on TPU), "pallas", "interpret", "reference".
+    ``impl``: "auto", "pallas", "interpret", "reference".
+
+    NOTE: "auto" selects the jnp path even on TPU. Measured on v5e at
+    ViT-B/16: the standalone Pallas kernel costs ~100ms/step (386 vs 288)
+    because a pallas_call is an XLA fusion barrier — the multiplex is
+    elementwise and XLA fuses it into the surrounding matmuls for free,
+    which beats a hand-written kernel that forces the activation through
+    HBM on both sides. The kernel remains available ("pallas") and is the
+    building block for a future fully-fused matmul+multiplex kernel.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+        impl = "reference"
     return _stateful_multiplex(z, assignments.astype(jnp.int32), float(specialist_gate), impl)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-stat tap: sensing fused into the backward pass
+# ---------------------------------------------------------------------------
+
+
+def _grad_stats_from_cotangent(g: jnp.ndarray) -> jnp.ndarray:
+    """Per-neuron [grad_gini (Hoyer), grad_gdp (mean |g|)] from dL/dz."""
+    f = g.shape[-1]
+    flat = g.reshape(-1, f).astype(jnp.float32)
+    n = flat.shape[0]
+    l1 = jnp.sum(jnp.abs(flat), axis=0)
+    l2 = jnp.sqrt(jnp.sum(flat * flat, axis=0))
+    safe_l2 = jnp.where(l2 == 0, 1.0, l2)
+    denom = (float(n) ** 0.5 - 1.0) if n > 1 else 1.0
+    gini = jnp.where(l2 == 0, 0.0, (float(n) ** 0.5 - l1 / safe_l2) / denom)
+    gdp = l1 / n
+    return jnp.stack([gini, gdp], axis=-1)
+
+
+@jax.custom_vjp
+def grad_stat_tap(z: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """Identity on ``z``; the cotangent of ``slot`` (an (F, 2) zeros buffer)
+    comes back as the per-neuron gradient statistics of dL/dz.
+
+    This realizes the reference's grad-sink idea
+    (tests/reproduce_grad_sink.py:7-68) without ever materializing a
+    (B, S, F) sink: the stats reduction runs INSIDE the same backward pass
+    as the weight gradients and only (F, 2) leaves the tap. Differentiate
+    the loss w.r.t. the 'perturbations' collection to harvest them.
+    """
+    del slot
+    return z
+
+
+def _tap_fwd(z, slot):
+    del slot
+    return z, None
+
+
+def _tap_bwd(_, g):
+    return g, _grad_stats_from_cotangent(g)
+
+
+grad_stat_tap.defvjp(_tap_fwd, _tap_bwd)

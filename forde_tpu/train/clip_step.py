@@ -23,7 +23,6 @@ from flax.training import train_state
 
 from forde_tpu.core.config import DualEncoderConfig
 from forde_tpu.models.dual_encoder import FORDEDualEncoder, clip_contrastive_loss
-from forde_tpu.nn.stateful import gradient_stats
 from forde_tpu.train.state import make_optimizer
 
 
@@ -58,10 +57,10 @@ def create_clip_train_state(
     attention_mask = jnp.ones((batch_size, text_len), jnp.int32)
     variables = model.init(rng, images, input_ids, attention_mask)
 
+    # Tap slots are already (F, 2) stat buffers (ops/stateful.grad_stat_tap),
+    # so the accumulator tree is just zeros of the same structure.
     perturbations = variables.get("perturbations", core.FrozenDict())
-    grad_stats = jax.tree.map(
-        lambda leaf: jnp.zeros((leaf.shape[-1], 2), jnp.float32), perturbations
-    )
+    grad_stats = jax.tree.map(jnp.zeros_like, perturbations)
     return CLIPTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
@@ -102,8 +101,9 @@ def clip_train_step(
         state.params, taps, state, batch
     )
 
+    # tap cotangents ARE the per-step (F, 2) gradient stats
     new_grad_stats = jax.tree.map(
-        lambda acc, g: acc + gradient_stats(g), state.grad_stats, tap_grads
+        lambda acc, g: acc + g, state.grad_stats, tap_grads
     )
     new_state = state.apply_gradients(grads=grads)
     new_state = new_state.replace(

@@ -1,14 +1,19 @@
 """Test configuration: force an 8-virtual-device CPU platform.
 
-All tests run on CPU with XLA_FLAGS=--xla_force_host_platform_device_count=8
-so mesh/sharding code paths are exercised without TPU hardware (the driver
-separately dry-runs the multi-chip path). Pallas kernels run in interpreter
-mode on CPU via impl="interpret".
+All tests run on CPU with xla_force_host_platform_device_count=8 so
+mesh/sharding code paths are exercised without TPU hardware (the driver
+separately dry-runs the multi-chip path on the real chip). Pallas kernels
+run in interpreter mode on CPU via impl="interpret".
+
+NOTE: this environment auto-registers the ``axon`` TPU-tunnel PJRT plugin
+via sitecustomize and pins jax's platform config programmatically, so the
+JAX_PLATFORMS env var alone is NOT enough — the config update below is
+what actually forces CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.device_count()

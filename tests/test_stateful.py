@@ -62,7 +62,7 @@ def test_stateful_layer_collections_and_sensing():
     variables = layer.init(key, x)
     assert set(variables) >= {"params", "brain", "stats_buffer", "perturbations"}
     assert variables["brain"]["neuron_assignments"].shape == (32,)
-    assert variables["perturbations"]["z_tap"].shape == (2, 8, 32)
+    assert variables["perturbations"]["z_tap"].shape == (32, 2)
 
     out, updates = layer.apply(variables, x, mutable=["stats_buffer"])
     assert out.shape == (2, 8, 16)
@@ -71,8 +71,8 @@ def test_stateful_layer_collections_and_sensing():
     assert buf["act_stats"].shape == (32, 3)
     assert float(jnp.abs(buf["act_stats"]).sum()) > 0
 
-    # gradient tap: dL/dz recoverable, matches closed form for sum loss
-    taps = {"z_tap": jnp.zeros((2, 8, 32))}
+    # gradient tap: the slot cotangent is the (F, 2) grad-stat vector
+    taps = {"z_tap": jnp.zeros((32, 2))}
 
     def f(taps):
         y = layer.apply(
@@ -88,8 +88,27 @@ def test_stateful_layer_collections_and_sensing():
         return jnp.sum(y)
 
     tap_grad = jax.grad(f)(taps)["z_tap"]
-    assert tap_grad.shape == (2, 8, 32)
+    assert tap_grad.shape == (32, 2)
     assert float(jnp.abs(tap_grad).sum()) > 0
+
+
+def test_grad_stat_tap_closed_form():
+    """Tap cotangent == gradient stats of the true dL/dz (reproduce_grad_sink
+    parity, but reduced in-backward)."""
+    from forde_tpu.nn.stateful import gradient_stats
+    from forde_tpu.ops.stateful import grad_stat_tap
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 8))
+    slot = jnp.zeros((8, 2))
+
+    def loss(z, slot):
+        return jnp.sum(jnp.sin(grad_stat_tap(z, slot)))
+
+    dz, dslot = jax.grad(loss, argnums=(0, 1))(z, slot)
+    # identity on z: dz is cos(z)
+    np.testing.assert_allclose(np.asarray(dz), np.cos(np.asarray(z)), atol=1e-6)
+    expected = gradient_stats(jnp.cos(z))
+    np.testing.assert_allclose(np.asarray(dslot), np.asarray(expected), atol=1e-5)
 
 
 def test_assignments_change_function():
