@@ -1,0 +1,71 @@
+"""Autoregressive sampling for the decoder LM.
+
+The reference has no inference path at all (SURVEY.md: training-only).
+This provides greedy / temperature / top-k sampling under one jit:
+a ``lax.scan`` over decode steps with a statically-shaped token buffer.
+
+Each step re-runs the full forward on the (padded) buffer — correct for
+every architecture flag (NSA's global top-k selection may spend slots on
+not-yet-generated positions, but its index-based causal mask guarantees no
+future leakage, matching reference semantics sparse_attention.py:469-472).
+An incremental KV-cache decode path is a planned optimization; this one is
+O(n) forwards and works unchanged for MoE/NSA/mHC combinations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from forde_tpu.models.decoder_lm import FORDEDecoderLM
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_new_tokens", "temperature", "top_k"),
+)
+def generate(
+    model: FORDEDecoderLM,
+    variables,
+    prompt_ids: jnp.ndarray,
+    key: jax.Array,
+    max_new_tokens: int = 32,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+) -> jnp.ndarray:
+    """Sample ``max_new_tokens`` continuations of ``prompt_ids`` (B, P).
+
+    ``temperature == 0`` -> greedy argmax. ``top_k`` restricts sampling to
+    the k most likely tokens. Returns (B, P + max_new_tokens).
+    """
+    b, p = prompt_ids.shape
+    total = p + max_new_tokens
+    ids = jnp.zeros((b, total), jnp.int32).at[:, :p].set(prompt_ids)
+
+    def step(carry, _):
+        ids, cur, key = carry
+        (logits, _), _ = model.apply(variables, ids, mutable=["stats_buffer"])
+        next_logits = jnp.take_along_axis(
+            logits, (cur - 1)[None, None, None].repeat(b, 0), axis=1
+        )[:, 0, :].astype(jnp.float32)  # (B, V)
+
+        key, sample_key = jax.random.split(key)
+        if temperature == 0:
+            next_token = jnp.argmax(next_logits, axis=-1)
+        else:
+            scaled = next_logits / temperature
+            if top_k is not None:
+                kth = jax.lax.top_k(scaled, top_k)[0][:, -1:]
+                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            next_token = jax.random.categorical(sample_key, scaled, axis=-1)
+
+        ids = jax.vmap(lambda row, t: row.at[cur].set(t))(ids, next_token)
+        return (ids, cur + 1, key), next_token
+
+    (ids, _, _), _ = jax.lax.scan(
+        step, (ids, jnp.array(p, jnp.int32), key), None, length=max_new_tokens
+    )
+    return ids
