@@ -177,6 +177,9 @@ class DualEncoderConfig:
     forde_lite: bool = False
     # Use fused Pallas StatefulLayer kernel on TPU
     stateful_kernel_impl: str = "auto"
+    # Rematerialize tower blocks: recompute activations in backward instead
+    # of saving them to HBM — a bandwidth win when the step is memory-bound.
+    remat: bool = False
     dtypes: DTypePolicy = field(default_factory=DTypePolicy)
 
     def replace(self, **kw) -> "DualEncoderConfig":

@@ -65,8 +65,11 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos.astype(dtype)
 
+        block_cls = FORDETransformerBlock
+        if cfg.remat:
+            block_cls = nn.remat(FORDETransformerBlock, static_argnums=(3,))
         for i in range(tw.num_layers):
-            x = FORDETransformerBlock(
+            x = block_cls(
                 num_heads=tw.num_heads,
                 head_dim=tw.head_dim,
                 mlp_hidden_dim=tw.mlp_hidden_dim,
@@ -76,7 +79,7 @@ class VisionTransformer(nn.Module):
                 dropout_rate=tw.dropout_rate,
                 dtype=dtype,
                 name=f"block_{i}",
-            )(x, deterministic=deterministic)
+            )(x, None, deterministic)
 
         x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
         return x[:, 0, :]  # CLS
@@ -115,8 +118,11 @@ class TextTransformer(nn.Module):
         )
         x = x + pos[:, :s].astype(dtype)
 
+        block_cls = FORDETransformerBlock
+        if cfg.remat:
+            block_cls = nn.remat(FORDETransformerBlock, static_argnums=(3,))
         for i in range(tw.num_layers):
-            x = FORDETransformerBlock(
+            x = block_cls(
                 num_heads=tw.num_heads,
                 head_dim=tw.head_dim,
                 mlp_hidden_dim=tw.mlp_hidden_dim,
@@ -126,7 +132,7 @@ class TextTransformer(nn.Module):
                 dropout_rate=tw.dropout_rate,
                 dtype=dtype,
                 name=f"block_{i}",
-            )(x, key_padding_mask=attention_mask, deterministic=deterministic)
+            )(x, attention_mask, deterministic)
 
         x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
         return x[:, 0, :]  # CLS

@@ -1,0 +1,116 @@
+// Native host-side VL ingest: multithreaded bilinear resize + normalize +
+// batch assembly.
+//
+// The TPU fast loop consumes float32 [0,1] NHWC batches at a fixed
+// image_size (224x224x3 per the reference preprocessing contract,
+// download_to_drive.py:173). Feeding the north-star 10k pairs/sec/chip
+// means ~6 GB/s of host-side pixel work; Python/PIL tops out far below
+// that. This library does the resize+normalize+pack step with a
+// std::thread pool over images, exposed through a C ABI consumed via
+// ctypes (no pybind11 in this environment).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -o libbatcher.so
+//        batcher.cpp -lpthread    (driven by forde_tpu/data/native.py)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Bilinear sample of one output pixel from a uint8 HWC image.
+inline void bilinear_pixel(const uint8_t* src, int sh, int sw, int channels,
+                           float fy, float fx, float* out, float scale) {
+  int y0 = static_cast<int>(fy);
+  int x0 = static_cast<int>(fx);
+  int y1 = std::min(y0 + 1, sh - 1);
+  int x1 = std::min(x0 + 1, sw - 1);
+  float dy = fy - y0;
+  float dx = fx - x0;
+  float w00 = (1.f - dy) * (1.f - dx);
+  float w01 = (1.f - dy) * dx;
+  float w10 = dy * (1.f - dx);
+  float w11 = dy * dx;
+  const uint8_t* p00 = src + (static_cast<size_t>(y0) * sw + x0) * channels;
+  const uint8_t* p01 = src + (static_cast<size_t>(y0) * sw + x1) * channels;
+  const uint8_t* p10 = src + (static_cast<size_t>(y1) * sw + x0) * channels;
+  const uint8_t* p11 = src + (static_cast<size_t>(y1) * sw + x1) * channels;
+  for (int c = 0; c < channels; ++c) {
+    out[c] = (w00 * p00[c] + w01 * p01[c] + w10 * p10[c] + w11 * p11[c]) *
+             scale;
+  }
+}
+
+void resize_one(const uint8_t* src, int sh, int sw, int channels, float* dst,
+                int oh, int ow) {
+  // align_corners=false convention (matches PIL / jax.image "linear").
+  const float scale_y = static_cast<float>(sh) / oh;
+  const float scale_x = static_cast<float>(sw) / ow;
+  const float norm = 1.0f / 255.0f;
+  for (int y = 0; y < oh; ++y) {
+    float fy = (y + 0.5f) * scale_y - 0.5f;
+    fy = std::max(0.f, std::min(fy, static_cast<float>(sh - 1)));
+    float* row = dst + static_cast<size_t>(y) * ow * channels;
+    for (int x = 0; x < ow; ++x) {
+      float fx = (x + 0.5f) * scale_x - 0.5f;
+      fx = std::max(0.f, std::min(fx, static_cast<float>(sw - 1)));
+      bilinear_pixel(src, sh, sw, channels, fy, fx, row + x * channels, norm);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Resize+normalize+pack a batch.
+//   srcs:    n pointers to uint8 HWC images
+//   heights/widths: per-image dims (channels fixed)
+//   out:     preallocated float32 (n, out_h, out_w, channels)
+//   threads: worker count (<=0 -> hardware_concurrency)
+void batch_resize_normalize(const uint8_t** srcs, const int32_t* heights,
+                            const int32_t* widths, int32_t n,
+                            int32_t channels, float* out, int32_t out_h,
+                            int32_t out_w, int32_t threads) {
+  if (threads <= 0) {
+    threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (threads <= 0) threads = 4;
+  }
+  threads = std::min(threads, n);
+  const size_t img_elems =
+      static_cast<size_t>(out_h) * out_w * channels;
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    while (true) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      resize_one(srcs[i], heights[i], widths[i], channels,
+                 out + static_cast<size_t>(i) * img_elems, out_h, out_w);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+// Pack ragged int32 token sequences into padded (n, max_len) input_ids +
+// attention_mask (the BERT-style contract, download_to_drive.py:52-64).
+void batch_pad_tokens(const int32_t** seqs, const int32_t* lengths, int32_t n,
+                      int32_t max_len, int32_t pad_id, int32_t* ids_out,
+                      int32_t* mask_out) {
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t len = std::min(lengths[i], max_len);
+    int32_t* ids = ids_out + static_cast<size_t>(i) * max_len;
+    int32_t* mask = mask_out + static_cast<size_t>(i) * max_len;
+    std::memcpy(ids, seqs[i], sizeof(int32_t) * len);
+    for (int32_t j = len; j < max_len; ++j) ids[j] = pad_id;
+    for (int32_t j = 0; j < len; ++j) mask[j] = 1;
+    for (int32_t j = len; j < max_len; ++j) mask[j] = 0;
+  }
+}
+
+}  // extern "C"

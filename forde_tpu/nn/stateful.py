@@ -27,17 +27,25 @@ GRAD_TAP_NAME = "z_tap"
 
 
 def activation_stats(z: jnp.ndarray) -> jnp.ndarray:
-    """Per-neuron [act_gini, act_gdp, act_var] for one step; z (..., F)."""
+    """Per-neuron [act_gini, act_gdp, act_var] for one step; z (..., F).
+
+    Reduces with fp32 accumulators directly from the (possibly bf16)
+    activations — no fp32 copy of z is ever materialized (the copy cost
+    ~4GB/step at ViT-B scale).
+    """
     f = z.shape[-1]
-    flat = z.reshape(-1, f).astype(jnp.float32)
-    return jnp.stack(
-        [
-            hoyer_sparsity(flat, axis=0),
-            jnp.mean(jnp.abs(flat), axis=0),
-            jnp.var(flat, axis=0),
-        ],
-        axis=-1,
-    )
+    flat = z.reshape(-1, f)
+    n = flat.shape[0]
+    l1 = jnp.sum(jnp.abs(flat), axis=0, dtype=jnp.float32)
+    sumsq = jnp.sum(flat * flat, axis=0, dtype=jnp.float32)
+    mean = jnp.sum(flat, axis=0, dtype=jnp.float32) / n
+    l2 = jnp.sqrt(sumsq)
+    safe_l2 = jnp.where(l2 == 0, 1.0, l2)
+    denom = (float(n) ** 0.5 - 1.0) if n > 1 else 1.0
+    gini = jnp.where(l2 == 0, 0.0, (float(n) ** 0.5 - l1 / safe_l2) / denom)
+    gdp = l1 / n
+    var = jnp.maximum(sumsq / n - mean**2, 0.0)
+    return jnp.stack([gini, gdp, var], axis=-1)
 
 
 def gradient_stats(g: jnp.ndarray) -> jnp.ndarray:

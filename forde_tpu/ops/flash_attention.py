@@ -399,10 +399,19 @@ def flash_attention(
         scale = 1.0 / float(d) ** 0.5
     scale = float(scale)
 
-    block_q = min(block_q, _ceil_to(s, 8))
-    block_k = min(block_k, _ceil_to(s, 8))
+    if s <= 512:
+        # Short sequences: one block of the whole (8-aligned) sequence.
+        # Minimizes padding copies (e.g. ViT's S=197 pads to 200, not 256).
+        block_q = block_k = _ceil_to(s, 8)
+    else:
+        block_q = min(block_q, _ceil_to(s, 8))
+        block_k = min(block_k, _ceil_to(s, 8))
     s_pad = _ceil_to(s, max(block_q, block_k))
-    d_pad = max(_ceil_to(d, 128), 128)
+    # Pad head_dim only to a 64-lane multiple: Mosaic handles 64-wide last
+    # dims natively, and padding to 128 would DOUBLE the HBM traffic of
+    # every q/k/v/o tensor (the step is bandwidth-bound; measured on the
+    # ViT-B clip step this padding alone was worth ~2x attention bytes).
+    d_pad = max(_ceil_to(d, 64), 64)
     if s_pad != s or d_pad != d:
         pad = [(0, 0), (0, 0), (0, s_pad - s), (0, d_pad - d)]
         qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))

@@ -33,34 +33,48 @@ GENERALIST, POOLING, SPECIALIST = 0, 1, 2
 
 
 def _multiplex_fwd_math(z, assignments, specialist_gate):
-    """Shared forward math on (rows, F) blocks; assignments (1, F)."""
-    zf = z.astype(jnp.float32)
+    """Shared forward math on (rows, F) blocks; assignments (1, F).
+
+    Runs in the input dtype: the three activation branches are computed for
+    EVERY element and selected per neuron (the reference's jnp.where
+    multiplex contract, README.md:51-54), so avoiding an fp32 materialized
+    copy matters — at ViT-B this was ~40GB/step of convert+tanh traffic.
+    """
+    dt = z.dtype
     fz = jnp.where(
         assignments == GENERALIST,
-        jnp.maximum(zf, 0.0),
+        jnp.maximum(z, jnp.zeros((), dt)),
         jnp.where(
             assignments == POOLING,
-            jnp.tanh(zf),
-            (zf > 0).astype(jnp.float32),
+            jnp.tanh(z),
+            (z > 0).astype(dt),
         ),
     )
-    gate = jnp.where(assignments == SPECIALIST, specialist_gate, 1.0)
-    return fz + gate * zf
+    gate = jnp.where(
+        assignments == SPECIALIST,
+        jnp.asarray(specialist_gate, dt),
+        jnp.ones((), dt),
+    )
+    return fz + gate * z
 
 
 def _multiplex_bwd_math(z, assignments, specialist_gate, g):
-    zf = z.astype(jnp.float32)
+    dt = z.dtype
     dfdz = jnp.where(
         assignments == GENERALIST,
-        (zf > 0).astype(jnp.float32),
+        (z > 0).astype(dt),
         jnp.where(
             assignments == POOLING,
-            1.0 - jnp.tanh(zf) ** 2,
-            1.0,  # straight-through binary step
+            jnp.asarray(1.0, dt) - jnp.tanh(z) ** 2,
+            jnp.ones((), dt),  # straight-through binary step
         ),
     )
-    gate = jnp.where(assignments == SPECIALIST, specialist_gate, 1.0)
-    return (g.astype(jnp.float32) * (dfdz + gate)).astype(z.dtype)
+    gate = jnp.where(
+        assignments == SPECIALIST,
+        jnp.asarray(specialist_gate, dt),
+        jnp.ones((), dt),
+    )
+    return (g.astype(dt) * (dfdz + gate)).astype(z.dtype)
 
 
 def _fwd_kernel(z_ref, a_ref, o_ref, *, specialist_gate):
