@@ -59,6 +59,25 @@ def single_device_mesh() -> Mesh:
     return create_mesh(data=1, expert=1, context=1, devices=jax.devices()[:1])
 
 
+def create_mesh_for_batch(
+    batch_size: int, expert: int = 1, context: int = 1
+) -> Mesh:
+    """Mesh whose data axis divides ``batch_size``.
+
+    Uses the largest data-axis size that divides both the batch and the
+    available device count (dropping surplus devices rather than failing
+    on tiny debug batches).
+    """
+    avail = len(jax.devices()) // (expert * context)
+    data = max(avail, 1)
+    while data > 1 and batch_size % data != 0:
+        data -= 1
+    n = data * expert * context
+    return create_mesh(
+        data=data, expert=expert, context=context, devices=jax.devices()[:n]
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(AXIS_DATA))

@@ -39,8 +39,9 @@ def prefetch_to_device(
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
                 q.put(batch)
-        finally:
             q.put(sentinel)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            q.put(exc)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -49,4 +50,6 @@ def prefetch_to_device(
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

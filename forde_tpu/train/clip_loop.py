@@ -88,7 +88,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         args = build_parser().parse_args([])
     cfg = config_from_args(args)
     brain = BrainConfig()
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh_for_batch(args.batch_size)
 
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)

@@ -114,7 +114,9 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     config = config_from_args(args)
     brain = BrainConfig()
 
-    mesh = mesh_lib.create_mesh(expert=args.expert_parallelism)
+    mesh = mesh_lib.create_mesh_for_batch(
+        args.batch_size, expert=args.expert_parallelism
+    )
     print(f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices")
 
     rng = jax.random.PRNGKey(args.seed)
