@@ -36,6 +36,26 @@ from forde_tpu.core.config import BrainConfig
 _LAYER_RE = re.compile(r"layer[_s]*(\d+)")
 
 
+class MoESlowLoopState:
+    """Host-side accumulator container (reference moe_slow_loop.py:91-119,
+    where it is dead code — the live contract is the ``stats_buffer``
+    collection). Kept for API parity with explicit reset semantics."""
+
+    def __init__(self, num_experts: int, d_model: int, num_layers: int):
+        self.num_experts = num_experts
+        self.d_model = d_model
+        self.num_layers = num_layers
+        self.reset()
+
+    def reset(self) -> None:
+        self.step_count = 0
+        self.expert_usage_sum = jnp.zeros((self.num_layers, self.num_experts))
+        self.expert_selection_count = jnp.zeros(
+            (self.num_layers, self.num_experts)
+        )
+        self.router_entropy_sum = jnp.zeros(self.num_layers)
+
+
 def collect_moe_stats(
     mutable_variables: Dict, num_layers: int, num_experts: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

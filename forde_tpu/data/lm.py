@@ -51,6 +51,20 @@ class DummyDataset:
             }
 
 
+class DummyBatchedDataset(DummyDataset):
+    """Pre-materialized variant: generates all batches up front and
+    replays them (reference DummyBatchedDataset, dataset.py:49-76). Useful
+    for overfitting smoke tests where every epoch must see identical data.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._batches = list(DummyDataset.__iter__(self))
+
+    def __iter__(self):
+        return iter(self._batches)
+
+
 def create_dummy_dataset(
     batch_size: int, seq_len: int, vocab_size: int, num_batches: int = 1000
 ) -> DummyDataset:

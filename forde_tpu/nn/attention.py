@@ -23,7 +23,19 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from forde_tpu.ops.attention_ref import causal_mask, sliding_window_mask
 from forde_tpu.ops.flash_attention import flash_attention
+
+
+def create_causal_mask(seq_len: int) -> jnp.ndarray:
+    """Lower-triangular boolean mask (reference sparse_attention.py:22-24)."""
+    return causal_mask(seq_len)
+
+
+def create_sliding_window_mask(seq_len: int, window_size: int) -> jnp.ndarray:
+    """Causal window mask: 0 <= q - k < window
+    (reference sparse_attention.py:27-48)."""
+    return sliding_window_mask(seq_len, window_size)
 
 
 def _split_heads(x, num_heads, head_dim):

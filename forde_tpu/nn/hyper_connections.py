@@ -81,6 +81,30 @@ class ManifoldHyperConnection(nn.Module):
         return mixed, output
 
 
+class ManifoldHyperConnectionBlock(nn.Module):
+    """Sublayer wrapper: pre-norm the designated stream, run the sublayer,
+    mix via mHC (reference hyper_connections.py:208-252 — dead code there,
+    the model wires mHC manually; provided here for API parity and for
+    users composing custom blocks)."""
+
+    num_streams: int = 4
+    sinkhorn_iterations: int = 5
+    d_model: int = 512
+
+    @nn.compact
+    def __call__(
+        self, streams: jnp.ndarray, sublayer_fn, output_stream_idx: int = 0
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        sublayer_input = streams[:, :, output_stream_idx, :]
+        normalized = nn.LayerNorm(name="layer_norm")(sublayer_input)
+        sublayer_output = sublayer_fn(normalized)
+        return ManifoldHyperConnection(
+            num_streams=self.num_streams,
+            sinkhorn_iterations=self.sinkhorn_iterations,
+            name="mhc",
+        )(streams, sublayer_output, output_stream_idx)
+
+
 class StreamCollapser(nn.Module):
     """Collapse (B, S, N, D) streams to (B, S, D)
     (reference hyper_connections.py:255-294)."""

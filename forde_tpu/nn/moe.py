@@ -141,19 +141,18 @@ class MoELayer(nn.Module):
             t = b * s
             capacity = int(self.capacity_factor * t * self.top_k / self.num_experts)
             capacity = max(capacity, self.top_k)
-            flat_idx = top_k_indices.reshape(t, self.top_k)
-            flat_probs = top_k_probs.reshape(t, self.top_k)
-            dispatch, combine = moe_dispatch.capacity_dispatch(
-                flat_idx, flat_probs, self.num_experts, capacity
+            plan = moe_dispatch.capacity_route(
+                top_k_indices.reshape(t, self.top_k),
+                top_k_probs.reshape(t, self.top_k),
+                self.num_experts,
+                capacity,
             )
             flat_x = x.reshape(t, d_model)
-            expert_in = jnp.einsum(
-                "tec,td->ecd", dispatch.astype(self.dtype), flat_x
-            )
+            expert_in = moe_dispatch.capacity_gather(flat_x, plan)  # (E, C, D)
             expert_out = experts.dispatched(expert_in)
-            output = jnp.einsum(
-                "tec,ecd->td", combine.astype(self.dtype), expert_out
-            ).reshape(b, s, d_model)
+            output = moe_dispatch.capacity_combine(expert_out, plan).reshape(
+                b, s, d_model
+            )
         else:
             raise ValueError(f"unknown dispatch mode {self.dispatch!r}")
 

@@ -79,47 +79,82 @@ def dense_combine(
     )
 
 
-def capacity_dispatch(
+def capacity_route(
     top_k_indices: jnp.ndarray,
     top_k_probs: jnp.ndarray,
     num_experts: int,
     capacity: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Build dispatch/combine tensors for capacity-based routing.
+):
+    """Plan capacity-based routing WITHOUT materializing (T, E, C) tensors.
+
+    The classic Mesh-TF einsum formulation builds one-hot dispatch/combine
+    tensors of size T*E*C — at S=2048, E=8, capacity-factor 2 that is
+    ~4 GB per layer and OOMs HBM at compile time. This plan is pure
+    gather/scatter bookkeeping: O(T*K*E) ints for the cumsum plus
+    O(E*C) slot tables.
 
     Args:
-        top_k_indices: (T, K) expert index per token per slot (flattened
-            tokens). Slot 0 has priority over slot 1, earlier tokens over
-            later ones.
+        top_k_indices: (T, K) expert per token per slot; slot 0 has
+            priority over slot 1, earlier tokens over later ones.
         top_k_probs: (T, K) renormalized routing weights.
-        num_experts: E.
-        capacity: C, max tokens per expert. Overflow tokens are dropped for
-            that expert (their weight contributes nothing).
 
-    Returns:
-        dispatch: (T, E, C) one-hot float — token t occupies slot c of
-            expert e.
-        combine: (T, E, C) — dispatch scaled by routing weight.
+    Returns dict:
+        slot_token: (E, C) int32 — source token for each expert slot
+            (arbitrary where invalid).
+        slot_valid: (E, C) bool — slot actually occupied.
+        position:   (T, K) int32 — slot index within the chosen expert.
+        keep:       (T, K) bool — False where the token overflowed.
+        weight:     (T, K) float32 — top_k_probs masked by keep.
     """
-    t = top_k_indices.shape[0]
-    k = top_k_indices.shape[1]
+    t, k = top_k_indices.shape
     sel = jax.nn.one_hot(top_k_indices, num_experts, dtype=jnp.float32)  # (T,K,E)
-
-    # Priority: slot-major then token order. Count prior occupancy per expert.
-    # flatten to (K*T, E) in slot-major order so slot 0 of every token comes
-    # before slot 1 of any token.
+    # Priority: slot-major then token order — flatten (K*T, E) so slot 0 of
+    # every token precedes slot 1 of any token.
     sel_km = sel.transpose(1, 0, 2).reshape(k * t, num_experts)
     positions_km = jnp.cumsum(sel_km, axis=0) - sel_km  # occupancy before me
-    positions = positions_km.reshape(k, t, num_experts).transpose(1, 0, 2)  # (T,K,E)
-    position_in_expert = jnp.sum(positions * sel, axis=-1).astype(jnp.int32)  # (T, K)
-    keep = position_in_expert < capacity
+    positions = positions_km.reshape(k, t, num_experts).transpose(1, 0, 2)
+    position = jnp.sum(positions * sel, axis=-1).astype(jnp.int32)  # (T, K)
+    keep = position < capacity
 
-    pos_one_hot = jax.nn.one_hot(
-        position_in_expert, capacity, dtype=jnp.float32
-    )  # (T, K, C)
-    keep_f = keep.astype(jnp.float32)[..., None]
-    dispatch = jnp.einsum("tke,tkc->tec", sel, pos_one_hot * keep_f)
-    combine = jnp.einsum(
-        "tke,tkc->tec", sel, pos_one_hot * keep_f * top_k_probs[..., None]
+    token_ids = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None], (t, k)
     )
-    return dispatch, combine
+    # Overflow positions scatter out of bounds -> dropped by mode="drop".
+    pos_for_scatter = jnp.where(keep, position, capacity)
+    slot_token = (
+        jnp.zeros((num_experts, capacity), jnp.int32)
+        .at[top_k_indices.reshape(-1), pos_for_scatter.reshape(-1)]
+        .set(token_ids.reshape(-1), mode="drop")
+    )
+    slot_valid = (
+        jnp.zeros((num_experts, capacity), jnp.bool_)
+        .at[top_k_indices.reshape(-1), pos_for_scatter.reshape(-1)]
+        .set(True, mode="drop")
+    )
+    weight = top_k_probs.astype(jnp.float32) * keep
+    return {
+        "expert_indices": top_k_indices,
+        "slot_token": slot_token,
+        "slot_valid": slot_valid,
+        "position": position,
+        "keep": keep,
+        "weight": weight,
+    }
+
+
+def capacity_gather(flat_x: jnp.ndarray, plan) -> jnp.ndarray:
+    """Gather per-expert input buffers (E, C, D) from (T, D) tokens."""
+    gathered = flat_x[plan["slot_token"]]  # (E, C, D)
+    return gathered * plan["slot_valid"][..., None].astype(flat_x.dtype)
+
+
+def capacity_combine(expert_out: jnp.ndarray, plan) -> jnp.ndarray:
+    """Combine (E, C, D) expert outputs back to (T, D) tokens.
+
+    Each token gathers its k expert outputs by (expert, slot) and sums
+    them with the kept routing weights; dropped tokens contribute zero.
+    """
+    pos = jnp.minimum(plan["position"], expert_out.shape[1] - 1)
+    per_slot = expert_out[plan["expert_indices"], pos]  # (T, K, D)
+    weight = plan["weight"].astype(expert_out.dtype)[..., None]
+    return jnp.sum(per_slot * weight, axis=1)

@@ -69,3 +69,31 @@ def test_stream_collapser_methods():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(streams.mean(axis=2)), atol=1e-5
     )
+
+
+def test_mhc_block_wrapper():
+    """ManifoldHyperConnectionBlock: pre-norm + sublayer + mHC mixing."""
+    from flax import linen as nn
+
+    from forde_tpu.nn.hyper_connections import ManifoldHyperConnectionBlock
+
+    key = jax.random.PRNGKey(5)
+    streams = jax.random.normal(key, (2, 4, 3, 16))
+
+    class Outer(nn.Module):
+        @nn.compact
+        def __call__(self, streams):
+            dense = nn.Dense(16, name="sub")
+            block = ManifoldHyperConnectionBlock(
+                num_streams=3, sinkhorn_iterations=3, d_model=16
+            )
+            return block(streams, dense)
+
+    outer = Outer()
+    variables = outer.init(key, streams)
+    new_streams, out = outer.apply(variables, streams)
+    assert new_streams.shape == streams.shape
+    assert out.shape == (2, 4, 16)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(new_streams[:, :, 0]), atol=1e-6
+    )

@@ -65,16 +65,39 @@ def test_capacity_dispatch_equals_dense_when_capacity_suffices():
     np.testing.assert_allclose(float(aux_d), float(aux_c), atol=1e-6)
 
 
-def test_capacity_dispatch_drops_overflow():
+def test_capacity_route_drops_overflow():
     """Tokens beyond expert capacity contribute nothing (not garbage)."""
     t, k, e, c = 6, 1, 2, 2
     idx = jnp.zeros((t, k), dtype=jnp.int32)  # everyone picks expert 0
     probs = jnp.ones((t, k))
-    dispatch, combine = moe_dispatch.capacity_dispatch(idx, probs, e, c)
-    # Only the first `c` tokens occupy slots.
-    occupancy = np.asarray(dispatch.sum(axis=(1, 2)))
-    np.testing.assert_array_equal(occupancy, [1, 1, 0, 0, 0, 0])
-    assert float(combine.sum()) == 2.0
+    plan = moe_dispatch.capacity_route(idx, probs, e, c)
+    np.testing.assert_array_equal(
+        np.asarray(plan["keep"][:, 0]), [True, True, False, False, False, False]
+    )
+    # expert 0 slots hold tokens 0 and 1; expert 1 empty
+    np.testing.assert_array_equal(np.asarray(plan["slot_token"][0]), [0, 1])
+    np.testing.assert_array_equal(
+        np.asarray(plan["slot_valid"]), [[True, True], [False, False]]
+    )
+    # combine: dropped tokens produce exact zeros
+    x = jnp.arange(t * 4, dtype=jnp.float32).reshape(t, 4) + 1.0
+    expert_in = moe_dispatch.capacity_gather(x, plan)
+    out = moe_dispatch.capacity_combine(expert_in, plan)
+    np.testing.assert_allclose(np.asarray(out[:2]), np.asarray(x[:2]))
+    np.testing.assert_array_equal(np.asarray(out[2:]), 0.0)
+
+
+def test_capacity_route_slot_priority():
+    """Slot 0 of every token outranks slot 1 of any token."""
+    # two tokens, both list expert 0 in slot0; token0 also lists it... use:
+    # token0 slot0->e0, token1 slot0->e0, token0 slot1->e0 impossible (top-k
+    # unique); emulate priority with 3 tokens k=2 and capacity 2 on e0.
+    idx = jnp.array([[0, 1], [0, 1], [1, 0]], jnp.int32)
+    probs = jnp.ones((3, 2)) * 0.5
+    plan = moe_dispatch.capacity_route(idx, probs, 2, 2)
+    # expert 0 demand: t0.k0, t1.k0, t2.k1 -> slot-major order keeps t0,t1
+    np.testing.assert_array_equal(np.asarray(plan["slot_token"][0]), [0, 1])
+    assert not bool(plan["keep"][2, 1])
 
 
 def test_stateful_layer_accumulates_stats():
