@@ -59,6 +59,26 @@ def single_device_mesh() -> Mesh:
     return create_mesh(data=1, expert=1, context=1, devices=jax.devices()[:1])
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed for multi-host runs when the coordinator
+    env is present (JAX_COORDINATOR_ADDRESS or the standard TPU pod env).
+
+    Single-host is a no-op. This is the framework's whole distributed
+    backend: XLA owns the collective layer over ICI/DCN once processes are
+    joined (SURVEY.md §2.4 — no NCCL/MPI analog needed).
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def create_mesh_for_batch(
     batch_size: int, expert: int = 1, context: int = 1
 ) -> Mesh:

@@ -88,6 +88,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         args = build_parser().parse_args([])
     cfg = config_from_args(args)
     brain = BrainConfig()
+    mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh_for_batch(args.batch_size)
 
     rng = jax.random.PRNGKey(args.seed)
@@ -133,6 +134,10 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
 
             if step % args.log_interval == 0:
                 last = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(last["loss/contrastive"]):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {last}"
+                    )
                 writer.scalars(last, step)
                 pps = meter.items_per_sec_per_chip
                 writer.scalar("Throughput/pairs_per_sec_per_chip", pps, step)

@@ -114,6 +114,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     config = config_from_args(args)
     brain = BrainConfig()
 
+    mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh_for_batch(
         args.batch_size, expert=args.expert_parallelism
     )
@@ -172,6 +173,12 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                 if global_step % args.log_interval == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     last_metrics = host
+                    if not np.isfinite(host["loss/total"]):
+                        # The reference silently logged NaN for a whole run
+                        # (SURVEY.md §6); fail loudly instead.
+                        raise FloatingPointError(
+                            f"non-finite loss at step {global_step}: {host}"
+                        )
                     writer.scalars(
                         {REFERENCE_TAGS.get(k, k): v for k, v in host.items()},
                         global_step,
