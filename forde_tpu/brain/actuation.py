@@ -45,16 +45,19 @@ def apply_router_adjustments(params, adjustments: jnp.ndarray) -> Tuple[dict, in
     flat = traverse_util.flatten_dict(unfreeze(params))
     count = 0
     out = {}
+    num_experts = adjustments.shape[0]
     for path, leaf in flat.items():
-        if (
-            "router_linear" in path
-            and "bias" in path
-            and leaf.shape == adjustments.shape
-        ):
-            out[path] = leaf + adjustments.astype(leaf.dtype)
-            count += 1
-        else:
-            out[path] = leaf
+        if "router_linear" in path and "bias" in path:
+            if leaf.shape == adjustments.shape:
+                out[path] = leaf + adjustments.astype(leaf.dtype)
+                count += 1
+                continue
+            if leaf.ndim == 2 and leaf.shape[-1] == num_experts:
+                # scanned-layers layout: one (L, E) stacked bias leaf
+                out[path] = leaf + adjustments.astype(leaf.dtype)[None, :]
+                count += leaf.shape[0]
+                continue
+        out[path] = leaf
     return traverse_util.unflatten_dict(out), count
 
 

@@ -79,8 +79,13 @@ def collect_moe_stats(
             m = _LAYER_RE.search(joined)
             layer_idx = int(m.group(1)) if m else 0
             usage = usage.at[layer_idx].set(leaf.astype(jnp.float32))
+        elif name == "expert_usage" and leaf.shape == (num_layers, num_experts):
+            # scanned-layers layout: the whole (L, E) stack in one leaf
+            usage = leaf.astype(jnp.float32)
         elif name == "step_count":
-            step_count = jnp.maximum(step_count, leaf.astype(jnp.int32))
+            step_count = jnp.maximum(
+                step_count, jnp.max(leaf).astype(jnp.int32)
+            )
     return usage, step_count
 
 

@@ -99,6 +99,11 @@ class LLMConfig:
     attention_impl: str = "auto"
     # Rematerialize decoder blocks to trade FLOPs for HBM.
     remat: bool = False
+    # Scan over layers (one traced block instead of num_layers unrolled
+    # copies): shrinks the HLO and compile time dramatically (an unrolled
+    # 12-layer NSA+MoE+mHC step took 30+ min to compile through the remote
+    # compiler). Parameters and stats_buffer get a leading (L,) axis.
+    scan_layers: bool = False
     dtypes: DTypePolicy = field(default_factory=DTypePolicy)
 
     def replace(self, **kw) -> "LLMConfig":

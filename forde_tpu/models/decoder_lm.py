@@ -138,6 +138,25 @@ class DecoderBlock(nn.Module):
         return output, streams, moe_aux_loss
 
 
+class _ScanBlockBody(nn.Module):
+    """nn.scan adapter: carry = (x, streams); per-layer output = aux loss.
+
+    Masks are not threaded through the scanned path (the training driver
+    never passes one, matching reference usage).
+    """
+
+    config: LLMConfig
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, streams = carry
+        x, streams, aux = DecoderBlock(config=self.config, name="block")(
+            x, streams, None, self.deterministic
+        )
+        return (x, streams), aux
+
+
 class FORDEDecoderLM(nn.Module):
     """Decoder-only LM with MoE + NSA + mHC (reference model.py:202-294).
 
@@ -185,14 +204,36 @@ class FORDEDecoderLM(nn.Module):
             )(x)
 
         total_aux_loss = jnp.array(0.0)
-        block_cls = DecoderBlock
-        if cfg.remat:
-            block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
-        for layer_idx in range(cfg.num_layers):
-            x, streams, moe_aux_loss = block_cls(
-                config=cfg, name=f"layer_{layer_idx}"
-            )(x, streams, mask, deterministic)
-            total_aux_loss = total_aux_loss + moe_aux_loss
+        if cfg.scan_layers:
+            # One traced block scanned over a leading (L,) param axis —
+            # the HLO is a single layer + a loop, so compile time stops
+            # scaling with depth. stats_buffer leaves also gain the (L,)
+            # axis (the slow loop handles both layouts).
+            body_cls = _ScanBlockBody
+            if cfg.remat:
+                body_cls = nn.remat(
+                    _ScanBlockBody,
+                    prevent_cse=False,  # safe under scan
+                )
+            scan_cls = nn.scan(
+                body_cls,
+                variable_axes={"params": 0, "stats_buffer": 0},
+                split_rngs={"params": True},
+                length=cfg.num_layers,
+            )
+            (x, streams), aux_stack = scan_cls(
+                config=cfg, deterministic=deterministic, name="layers"
+            )((x, streams), None)
+            total_aux_loss = total_aux_loss + jnp.sum(aux_stack)
+        else:
+            block_cls = DecoderBlock
+            if cfg.remat:
+                block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
+            for layer_idx in range(cfg.num_layers):
+                x, streams, moe_aux_loss = block_cls(
+                    config=cfg, name=f"layer_{layer_idx}"
+                )(x, streams, mask, deterministic)
+                total_aux_loss = total_aux_loss + moe_aux_loss
 
         # Deliberate deviation from the reference: model.py:276-285 applies
         # final_norm to x and then *discards* the result by overwriting x
