@@ -42,6 +42,7 @@ class DecoderBlock(nn.Module):
         streams: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        decode: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
         cfg = self.config
         dtype = cfg.dtypes.compute
@@ -79,8 +80,9 @@ class DecoderBlock(nn.Module):
                 head_dim=cfg.head_dim,
                 impl=cfg.attention_impl,
                 dtype=dtype,
+                max_decode_len=cfg.max_seq_len,
                 name="causal_attention",
-            )(attn_input, mask)
+            )(attn_input, mask, decode=decode)
 
         if not deterministic:
             attn_output = nn.Dropout(rate=cfg.dropout_rate)(
@@ -171,10 +173,17 @@ class FORDEDecoderLM(nn.Module):
         input_ids: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        decode: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         dtype = cfg.dtypes.compute
         b, s = input_ids.shape
+        if decode and (cfg.use_sparse_attention or cfg.scan_layers):
+            raise ValueError(
+                "KV-cache decode requires use_sparse_attention=False and "
+                "scan_layers=False (NSA decode falls back to "
+                "models.generate.generate full recompute)"
+            )
 
         token_embedding = nn.Embed(
             num_embeddings=cfg.vocab_size,
@@ -182,7 +191,17 @@ class FORDEDecoderLM(nn.Module):
             dtype=dtype,
             name="token_embed",
         )(input_ids)
-        position_ids = jnp.arange(s)[None, :]
+        if decode:
+            # position counter lives in the cache collection
+            pos_index = self.variable(
+                "cache", "pos_index", lambda: jnp.array(0, jnp.int32)
+            )
+            offset = pos_index.value
+            if not self.is_initializing():
+                pos_index.value = offset + s
+            position_ids = (offset + jnp.arange(s))[None, :]
+        else:
+            position_ids = jnp.arange(s)[None, :]
         position_embedding = nn.Embed(
             num_embeddings=cfg.max_seq_len,
             features=cfg.d_model,
@@ -228,11 +247,11 @@ class FORDEDecoderLM(nn.Module):
         else:
             block_cls = DecoderBlock
             if cfg.remat:
-                block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
+                block_cls = nn.remat(DecoderBlock, static_argnums=(4, 5))
             for layer_idx in range(cfg.num_layers):
                 x, streams, moe_aux_loss = block_cls(
                     config=cfg, name=f"layer_{layer_idx}"
-                )(x, streams, mask, deterministic)
+                )(x, streams, mask, deterministic, decode)
                 total_aux_loss = total_aux_loss + moe_aux_loss
 
         # Deliberate deviation from the reference: model.py:276-285 applies

@@ -69,3 +69,89 @@ def generate(
         step, (ids, jnp.array(p, jnp.int32), key), None, length=max_new_tokens
     )
     return ids
+
+
+def _sample(next_logits, sample_key, temperature, top_k):
+    if temperature == 0:
+        return jnp.argmax(next_logits, axis=-1)
+    scaled = next_logits / temperature
+    if top_k is not None:
+        kth = jax.lax.top_k(scaled, top_k)[0][:, -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    return jax.random.categorical(sample_key, scaled, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_new_tokens", "temperature", "top_k"),
+)
+def generate_cached(
+    model: FORDEDecoderLM,
+    variables,
+    prompt_ids: jnp.ndarray,
+    key: jax.Array,
+    max_new_tokens: int = 32,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+) -> jnp.ndarray:
+    """KV-cache incremental sampling: O(1) attention work per new token.
+
+    Requires ``use_sparse_attention=False`` and ``scan_layers=False``
+    (the dense-causal decode path); other configs use ``generate``.
+    The prompt is prefilled in one forward pass, then each step runs a
+    single-token forward against the cache.
+    """
+    b, p = prompt_ids.shape
+
+    # Materialize cache shapes (init-time creation; values unused).
+    cache = model.init(
+        jax.random.PRNGKey(0), prompt_ids, None, True, True
+    )["cache"]
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+
+    # Prefill: one full forward over the prompt populates the cache.
+    (logits, _), updated = model.apply(
+        {**model_vars, "cache": cache},
+        prompt_ids,
+        None,
+        True,
+        True,
+        mutable=["cache", "stats_buffer"],
+    )
+    cache = updated["cache"]
+    key, sample_key = jax.random.split(key)
+    next_token = _sample(
+        logits[:, -1, :].astype(jnp.float32), sample_key, temperature, top_k
+    )
+
+    ids = jnp.zeros((b, p + max_new_tokens), jnp.int32)
+    ids = ids.at[:, :p].set(prompt_ids).at[:, p].set(next_token)
+
+    def step(carry, _):
+        ids, cache, cur, token, key = carry
+        (logits, _), updated = model.apply(
+            {**model_vars, "cache": cache},
+            token[:, None],
+            None,
+            True,
+            True,
+            mutable=["cache", "stats_buffer"],
+        )
+        cache = updated["cache"]
+        key, sample_key = jax.random.split(key)
+        nxt = _sample(
+            logits[:, 0, :].astype(jnp.float32), sample_key, temperature, top_k
+        )
+        ids = jax.vmap(lambda row, t: row.at[cur].set(t))(ids, nxt)
+        return (ids, cache, cur + 1, nxt, key), None
+
+    (ids, _, _, _, _), _ = jax.lax.scan(
+        step,
+        (ids, cache, jnp.array(p + 1, jnp.int32), next_token, key),
+        None,
+        length=max_new_tokens - 1,
+    )
+    return ids

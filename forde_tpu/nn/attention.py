@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from forde_tpu.ops import attention_ref
 from forde_tpu.ops.attention_ref import causal_mask, sliding_window_mask
 from forde_tpu.ops.flash_attention import flash_attention
 
@@ -77,15 +78,24 @@ class SlidingWindowAttention(nn.Module):
 
 
 class CausalSelfAttention(nn.Module):
-    """Dense causal attention fallback (reference sparse_attention.py:483-518)."""
+    """Dense causal attention fallback (reference sparse_attention.py:483-518).
+
+    ``decode=True`` enables KV-cache autoregressive decoding (a capability
+    the reference lacks entirely): a prefill call (S > 1) fills the cache
+    and sets the index; subsequent single-token calls append and attend to
+    the cached prefix. ``max_decode_len`` bounds the cache.
+    """
 
     num_heads: int
     head_dim: int
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    max_decode_len: int = 2048
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(
+        self, x, mask: Optional[jnp.ndarray] = None, decode: bool = False
+    ):
         b, s, d_model = x.shape
         qkv = nn.Dense(
             3 * self.num_heads * self.head_dim, name="qkv_proj", dtype=self.dtype
@@ -94,7 +104,39 @@ class CausalSelfAttention(nn.Module):
         q = _split_heads(q, self.num_heads, self.head_dim)
         k = _split_heads(k, self.num_heads, self.head_dim)
         v = _split_heads(v, self.num_heads, self.head_dim)
-        out = flash_attention(q, k, v, causal=True, impl=self.impl)
+
+        if decode:
+            cache_shape = (b, self.num_heads, self.max_decode_len, self.head_dim)
+            cached_key = self.variable(
+                "cache", "cached_key", jnp.zeros, cache_shape, k.dtype
+            )
+            cached_value = self.variable(
+                "cache", "cached_value", jnp.zeros, cache_shape, v.dtype
+            )
+            cache_index = self.variable(
+                "cache", "cache_index", lambda: jnp.array(0, jnp.int32)
+            )
+            if not self.is_initializing():
+                idx = cache_index.value
+                keys = jax.lax.dynamic_update_slice(
+                    cached_key.value, k, (0, 0, idx, 0)
+                )
+                values = jax.lax.dynamic_update_slice(
+                    cached_value.value, v, (0, 0, idx, 0)
+                )
+                cached_key.value = keys
+                cached_value.value = values
+                cache_index.value = idx + s
+                # attend to everything written so far, causally within the
+                # new chunk: valid iff k_pos <= idx + (local q offset)
+                q_pos = idx + jnp.arange(s)[:, None]
+                k_pos = jnp.arange(self.max_decode_len)[None, :]
+                attn_mask = (k_pos <= q_pos)[None, None]
+                out = attention_ref.mha_reference(q, keys, values, mask=attn_mask)
+            else:
+                out = jnp.zeros_like(q)
+        else:
+            out = flash_attention(q, k, v, causal=True, impl=self.impl)
         out = _merge_heads(out)
         return nn.Dense(d_model, name="out_proj", dtype=self.dtype)(out)
 

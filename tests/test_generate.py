@@ -76,3 +76,40 @@ def test_top_k_restricts_support():
         temperature=2.0, top_k=1,
     )
     np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
+
+
+def test_cached_generation_matches_full_recompute():
+    """KV-cache greedy decode == full-recompute greedy decode (no-NSA cfg)."""
+    from forde_tpu.models.generate import generate_cached
+
+    cfg = tiny_config(use_sparse_attention=False)
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    prompt = jnp.asarray(
+        np.random.RandomState(3).randint(0, cfg.vocab_size, (2, 6)), jnp.int32
+    )
+    full = generate(
+        model, variables, prompt, jax.random.PRNGKey(0), max_new_tokens=8,
+        temperature=0,
+    )
+    cached = generate_cached(
+        model, variables, prompt, jax.random.PRNGKey(0), max_new_tokens=8,
+        temperature=0,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
+
+
+def test_cached_generation_rejects_nsa_config():
+    from forde_tpu.models.generate import generate_cached
+
+    cfg = tiny_config()  # NSA on
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    prompt = jnp.ones((1, 4), jnp.int32)
+    try:
+        generate_cached(
+            model, variables, prompt, jax.random.PRNGKey(0), max_new_tokens=2
+        )
+        raise AssertionError("expected ValueError for NSA decode")
+    except ValueError:
+        pass
