@@ -305,3 +305,18 @@ class FORDEDecoderLMWithLoss(nn.Module):
         else:
             lm_loss = jnp.array(0.0)
         return logits, lm_loss, aux_loss
+
+
+if __name__ == "__main__":
+    # Module smoke test (reference model.py:373-455 pattern).
+    import jax
+
+    cfg = create_default_config()
+    model = FORDEDecoderLM(config=cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 64), 0, cfg.vocab_size)
+    variables = model.init(jax.random.PRNGKey(42), ids)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    (logits, aux), _ = model.apply(variables, ids, mutable=["stats_buffer"])
+    assert logits.shape == (2, 64, cfg.vocab_size)
+    print(f"FORDEDecoderLM OK: {n_params:,} params, logits {logits.shape}, "
+          f"aux {float(aux):.6f}")

@@ -238,3 +238,20 @@ def clip_contrastive_loss(
         "contrastive/acc_txt": acc_t,
         "contrastive/logit_scale": scale,
     }
+
+
+if __name__ == "__main__":
+    # Module smoke test (reference __main__ block pattern).
+    from forde_tpu.core.config import vit_tiny_config
+
+    cfg = vit_tiny_config()
+    model = FORDEDualEncoder(config=cfg)
+    images = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
+    ids = jnp.ones((2, 16), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), images, ids)
+    (img, txt, scale), _ = model.apply(
+        variables, images, ids, mutable=["stats_buffer"]
+    )
+    loss, metrics = clip_contrastive_loss(img, txt, scale)
+    print(f"FORDEDualEncoder OK: img {img.shape} txt {txt.shape} "
+          f"loss {float(loss):.4f}")
