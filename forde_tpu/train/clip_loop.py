@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--slow_loop_interval", type=int, default=100)
     p.add_argument("--forde_lite", action="store_true",
                    help="rule-based assignments instead of GMM (README.md:58)")
+    p.add_argument("--gmm", action="store_true",
+                   help="force GMM clustering (overrides a preset's forde_lite)")
     p.add_argument("--use_dummy_data", action="store_true")
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
@@ -76,6 +78,8 @@ def config_from_args(args) -> DualEncoderConfig:
         )
     if args.forde_lite:
         cfg = cfg.replace(forde_lite=True)
+    if args.gmm:
+        cfg = cfg.replace(forde_lite=False)
     if args.bf16:
         cfg = cfg.replace(dtypes=DTypePolicy.bf16())
     if args.text_len:
@@ -161,6 +165,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                     grad_stats=new_grads,
                     grad_step_count=state.grad_step_count * 0,
                 )
+                jax.device_get(diag["skipped"])  # sync: async dispatch skews timing
                 dt_ms = (time.perf_counter() - t0) * 1000
                 writer.scalar("SlowLoop/latency_ms", dt_ms, step)
                 mode = "Forde-lite" if cfg.forde_lite else "GMM"

@@ -217,6 +217,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                         params=new_params,
                         stats_buffer=new_mutable["stats_buffer"],
                     )
+                    jax.device_get(diag["skipped"])  # sync: async dispatch skews timing
                     dt_ms = (time.perf_counter() - t0) * 1000
                     writer.scalar("SlowLoop/latency_ms", dt_ms, global_step)
                     writer.scalar(

@@ -1,0 +1,54 @@
+"""Observability: plot artifacts, metrics writer, throughput meter."""
+
+import json
+import os
+import time
+
+import numpy as np
+
+from forde_tpu.obs.metrics import MetricsWriter, ThroughputMeter
+from forde_tpu.obs.plots import plot_brain_scan, plot_census, plot_feature_space
+
+
+def test_plot_artifacts_written(tmp_path):
+    out = str(tmp_path / "plots")
+    grid = np.array([[0, 1, 2], [1, 1, 0]])
+    p1 = plot_brain_scan(grid, epoch=0, step=10, output_dir=out)
+    stats = np.random.RandomState(0).rand(12, 2)
+    assigns = np.random.RandomState(1).randint(0, 3, 12)
+    p2 = plot_feature_space(stats, assigns, 0, 10, out)
+    p3 = plot_census(assigns, 0, 10, out, num_clusters=3,
+                     labels={0: "Gen", 1: "Pool", 2: "Spec"})
+    for p in (p1, p2, p3):
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+    assert "brain_scan_epoch0_step10.png" in p1  # reference naming scheme
+
+
+def test_plot_brain_scan_1d_assignments(tmp_path):
+    # 1D input (e.g. 7 experts) is rendered as a single row
+    p = plot_brain_scan(np.array([0, 1, 2, 1, 0, 2, 1]), 1, 5, str(tmp_path))
+    assert os.path.exists(p)
+
+
+def test_metrics_writer_roundtrip(tmp_path):
+    w = MetricsWriter(str(tmp_path / "run"))
+    w.scalars({"loss/total": 1.5, "loss/aux": 0.1}, step=3)
+    w.scalar("Throughput/tokens_per_sec_per_chip", 1000.0, step=3)
+    w.flush()
+    w.close()
+    files = os.listdir(str(tmp_path / "run"))
+    assert files  # tensorboard events or metrics.jsonl
+    jsonl = os.path.join(str(tmp_path / "run"), "metrics.jsonl")
+    if os.path.exists(jsonl):
+        rows = [json.loads(line) for line in open(jsonl)]
+        assert {"tag": "loss/total", "value": 1.5, "step": 3} in rows
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(items_per_step=100, num_chips=2)
+    m.step(4)
+    time.sleep(0.05)
+    rate = m.items_per_sec_per_chip
+    assert 0 < rate < 4 * 100 / 0.05 / 2 + 1
+    m.reset()
+    assert m.items_per_sec_per_chip == 0.0
