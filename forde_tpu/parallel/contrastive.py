@@ -23,7 +23,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from forde_tpu.core.mesh import AXIS_DATA
 from forde_tpu.models.dual_encoder import l2_normalize

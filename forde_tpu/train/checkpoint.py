@@ -10,7 +10,7 @@ and resume.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import orbax.checkpoint as ocp
 
