@@ -52,3 +52,43 @@ def test_throughput_meter():
     assert 0 < rate < 4 * 100 / 0.05 / 2 + 1
     m.reset()
     assert m.items_per_sec_per_chip == 0.0
+
+
+def test_retrieval_metrics_perfect_and_shuffled():
+    import jax.numpy as jnp
+
+    from forde_tpu.obs.retrieval import retrieval_metrics
+
+    rng = np.random.RandomState(0)
+    emb = rng.randn(16, 8).astype(np.float32)
+    m = retrieval_metrics(jnp.asarray(emb), jnp.asarray(emb))
+    assert m["retrieval/i2t_recall@1"] == 1.0
+    assert m["retrieval/t2i_mean_rank"] == 1.0
+    # mismatched pairs: recall@1 should be far from 1
+    shuffled = np.roll(emb, 5, axis=0)
+    m2 = retrieval_metrics(jnp.asarray(emb), jnp.asarray(shuffled))
+    assert m2["retrieval/i2t_recall@1"] < 0.5
+
+
+def test_evaluate_retrieval_end_to_end():
+    import jax
+
+    from forde_tpu.data.vl import SyntheticVLDataset
+    from forde_tpu.obs.retrieval import evaluate_retrieval
+    from forde_tpu.train.clip_step import create_clip_train_state
+    from tests.test_dual_encoder import tiny_cfg
+
+    cfg = tiny_cfg()
+    state = create_clip_train_state(
+        cfg, jax.random.PRNGKey(0), 1e-3, 0.0, batch_size=4,
+        text_len=cfg.max_text_len,
+    )
+    ds = SyntheticVLDataset(4, 3, image_size=cfg.image_size,
+                            text_len=cfg.max_text_len,
+                            vocab_size=cfg.vocab_size)
+    metrics = evaluate_retrieval(state, ds, ks=(1, 5))
+    assert set(metrics) >= {
+        "retrieval/i2t_recall@1", "retrieval/t2i_recall@5",
+        "retrieval/i2t_mean_rank",
+    }
+    assert 0.0 <= metrics["retrieval/i2t_recall@1"] <= 1.0
