@@ -31,6 +31,7 @@ from forde_tpu.data.prefetch import prefetch_to_device
 from forde_tpu.data.vl import SyntheticVLDataset, create_vl_dataset
 from forde_tpu.obs.metrics import MetricsWriter, ThroughputMeter
 from forde_tpu.obs.plots import plot_brain_scan, plot_census, plot_feature_space
+from forde_tpu.obs.retrieval import evaluate_retrieval
 from forde_tpu.train import checkpoint as ckpt_lib
 from forde_tpu.train.clip_step import clip_train_step, create_clip_train_state
 
@@ -57,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--plots_dir", type=str, default="plots")
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--eval_interval", type=int, default=0,
+                   help="steps between retrieval evals (0 disables)")
+    p.add_argument("--eval_batches", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     # custom-preset model knobs
     p.add_argument("--image_size", type=int, default=224)
@@ -189,6 +193,20 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                                     num_clusters=brain.num_clusters,
                                     labels={0: "Generalist", 1: "Pooling",
                                             2: "Specialist"})
+
+            if args.eval_interval > 0 and step % args.eval_interval == 0:
+                eval_ds = SyntheticVLDataset(
+                    args.batch_size, args.eval_batches,
+                    image_size=cfg.image_size, text_len=args.text_len,
+                    vocab_size=cfg.vocab_size, seed=args.seed + 1,
+                )
+                rmetrics = evaluate_retrieval(state, eval_ds)
+                writer.scalars(rmetrics, step)
+                print(
+                    f"[retrieval @ {step}] "
+                    f"i2t R@1 {rmetrics['retrieval/i2t_recall@1']:.3f} "
+                    f"t2i R@1 {rmetrics['retrieval/t2i_recall@1']:.3f}"
+                )
 
             if manager and step % max(args.slow_loop_interval, 100) == 0:
                 manager.save(step, state)
