@@ -205,6 +205,10 @@ def moe_slow_loop_step(
         brain,
     )
     if verbose:
+        # ONE bulk transfer: per-field host reads cost a full tunnel round
+        # trip each (~20 ms apiece through axon) and were the difference
+        # between a 40 ms and a 260 ms driver-visible brain update.
+        diagnostics = jax.device_get(diagnostics)
         _print_report(diagnostics, epoch, step)
     return new_params, new_mutable, diagnostics
 

@@ -72,6 +72,89 @@ def create_dummy_dataset(
     return DummyDataset(batch_size, seq_len, vocab_size, num_batches)
 
 
+class MarkovDataset:
+    """Structured synthetic token stream with a computable entropy floor.
+
+    No counterpart in the reference (its only offline data is uniform
+    random tokens, dataset.py:20-76, on which next-token loss cannot drop
+    below ln(vocab)). This process is *learnable*: tokens live in an
+    ``active_vocab``-sized subset of the full id range, and each next
+    token follows a fixed random permutation of its predecessor with
+    probability ``p`` (uniform over the active set otherwise).
+
+    Achievable cross-entropy floors (nats):
+      * unigram-only model:  ln(active_vocab)
+      * perfect model:       -(p + q)·ln(p + q) - (A-1)·q·ln(q),
+        with q = (1-p)/A, A = active_vocab.
+    A fresh model starts at ln(vocab_size); learning shows up as loss
+    crossing ln(active_vocab) and heading for the floor.
+    """
+
+    def __init__(
+        self,
+        batch_size: int,
+        seq_len: int,
+        vocab_size: int,
+        active_vocab: int = 8192,
+        p: float = 0.85,
+        num_batches: int = 1000,
+        seed: int = 42,
+    ):
+        self.batch_size = batch_size
+        self.seq_len = seq_len
+        self.vocab_size = vocab_size
+        self.active_vocab = min(active_vocab, vocab_size)
+        self.p = p
+        self.num_batches = num_batches
+        self.seed = seed
+        rng = np.random.RandomState(seed)
+        # Active token ids spread over the full id range; a fixed random
+        # successor permutation defines the deterministic branch.
+        self.tokens = rng.choice(
+            vocab_size, size=self.active_vocab, replace=False
+        ).astype(np.int32)
+        self.successor = rng.permutation(self.active_vocab).astype(np.int32)
+
+    def entropy_floor(self) -> float:
+        a = self.active_vocab
+        q = (1.0 - self.p) / a
+        main = self.p + q
+        return float(-(main * np.log(main) + (a - 1) * q * np.log(q)))
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed + 1)
+        for _ in range(self.num_batches):
+            # Vectorized chain over active-set *indices*, then map to ids.
+            idx = np.empty((self.batch_size, self.seq_len), np.int64)
+            idx[:, 0] = rng.randint(0, self.active_vocab, self.batch_size)
+            noise = rng.rand(self.batch_size, self.seq_len) >= self.p
+            resample = rng.randint(
+                0, self.active_vocab, (self.batch_size, self.seq_len)
+            )
+            for t in range(1, self.seq_len):
+                step = self.successor[idx[:, t - 1]]
+                idx[:, t] = np.where(noise[:, t], resample[:, t], step)
+            yield {"input_ids": self.tokens[idx].astype(np.int32)}
+
+
+def create_markov_dataset(
+    batch_size: int,
+    seq_len: int,
+    vocab_size: int,
+    num_batches: int = 1000,
+    active_vocab: int = 8192,
+    p: float = 0.85,
+    seed: int = 42,
+) -> MarkovDataset:
+    return MarkovDataset(
+        batch_size, seq_len, vocab_size,
+        active_vocab=active_vocab, p=p, num_batches=num_batches, seed=seed,
+    )
+
+
 class StreamingLMDataset:
     """Buffer a tokenized iterable into numpy-stacked batches
     (reference dataset.py:200-222)."""

@@ -28,7 +28,12 @@ from forde_tpu.core.config import (
     vit_tiny_config,
 )
 from forde_tpu.data.prefetch import prefetch_to_device
-from forde_tpu.data.vl import SyntheticVLDataset, create_vl_dataset
+from forde_tpu.data.vl import (
+    AlignedSyntheticVLDataset,
+    SyntheticVLDataset,
+    create_vl_dataset,
+    hold_out_eval,
+)
 from forde_tpu.obs.metrics import MetricsWriter, ThroughputMeter
 from forde_tpu.obs.plots import plot_brain_scan, plot_census, plot_feature_space
 from forde_tpu.obs.retrieval import evaluate_retrieval
@@ -52,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gmm", action="store_true",
                    help="force GMM clustering (overrides a preset's forde_lite)")
     p.add_argument("--use_dummy_data", action="store_true")
+    p.add_argument("--use_aligned_data", action="store_true",
+                   help="procedurally aligned (image, caption) pairs — "
+                        "learnable offline; eval uses held-out classes")
+    p.add_argument("--aligned_classes", type=int, default=4096)
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--experiment_name", type=str, default="forde_tpu_clip")
@@ -116,16 +125,48 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     writer = MetricsWriter(
         f"runs/{args.experiment_name}_{datetime.now():%Y%m%d_%H%M%S}"
     )
-    if args.use_dummy_data:
+    eval_batches = None  # materialized held-out eval set
+    if args.use_aligned_data:
+        # Train on classes [0, 0.9C), evaluate retrieval on a disjoint
+        # held-out class range — generalization, not memorization.
+        split = int(args.aligned_classes * 0.9)
+        dataset = AlignedSyntheticVLDataset(
+            args.batch_size, args.num_steps, image_size=cfg.image_size,
+            text_len=args.text_len, vocab_size=cfg.vocab_size,
+            num_classes=args.aligned_classes, class_range=(0, split),
+            seed=args.seed,
+        )
+        if args.eval_interval > 0:
+            eval_batches = list(AlignedSyntheticVLDataset(
+                args.batch_size, args.eval_batches,
+                image_size=cfg.image_size, text_len=args.text_len,
+                vocab_size=cfg.vocab_size, num_classes=args.aligned_classes,
+                class_range=(split, args.aligned_classes),
+                seed=args.seed + 1,
+            ))
+    elif args.use_dummy_data:
         dataset = SyntheticVLDataset(
             args.batch_size, args.num_steps, image_size=cfg.image_size,
             text_len=args.text_len, vocab_size=cfg.vocab_size,
         )
+        if args.eval_interval > 0:
+            eval_batches = list(SyntheticVLDataset(
+                args.batch_size, args.eval_batches,
+                image_size=cfg.image_size, text_len=args.text_len,
+                vocab_size=cfg.vocab_size, seed=args.seed + 1,
+            ))
     else:
         dataset = create_vl_dataset(
-            args.batch_size, num_batches=args.num_steps,
+            args.batch_size, num_batches=(
+                args.num_steps + args.eval_batches
+                if args.eval_interval > 0 else args.num_steps
+            ),
             image_size=cfg.image_size, text_len=args.text_len,
         )
+        if args.eval_interval > 0:
+            # Hold out the FIRST eval_batches real batches for retrieval
+            # eval; training never sees them (VERDICT r1 item 7).
+            eval_batches, dataset = hold_out_eval(dataset, args.eval_batches)
 
     meter = ThroughputMeter(items_per_step=args.batch_size)
     sharding = mesh_lib.batch_sharding(mesh)
@@ -158,6 +199,11 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
 
             if args.slow_loop_interval > 0 and step % args.slow_loop_interval == 0:
                 rng, slow_key = jax.random.split(rng)
+                # Drain queued fast-loop work before timing: otherwise the
+                # metric includes the backlog of async-dispatched train
+                # steps, not the brain update (round-1 logged 230-270 ms
+                # for a 34-53 ms computation because of this).
+                jax.device_get(metrics["loss/contrastive"])
                 t0 = time.perf_counter()
                 new_brain, new_stats, new_grads, diag = neuron_slow_loop_step(
                     state.brain, state.stats_buffer, state.grad_stats,
@@ -169,7 +215,9 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                     grad_stats=new_grads,
                     grad_step_count=state.grad_step_count * 0,
                 )
-                jax.device_get(diag["skipped"])  # sync: async dispatch skews timing
+                # One bulk transfer of the diagnostics dict; per-field
+                # reads cost a tunnel round trip each.
+                diag = jax.device_get(diag)
                 dt_ms = (time.perf_counter() - t0) * 1000
                 writer.scalar("SlowLoop/latency_ms", dt_ms, step)
                 mode = "Forde-lite" if cfg.forde_lite else "GMM"
@@ -194,13 +242,12 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                                     labels={0: "Generalist", 1: "Pooling",
                                             2: "Specialist"})
 
-            if args.eval_interval > 0 and step % args.eval_interval == 0:
-                eval_ds = SyntheticVLDataset(
-                    args.batch_size, args.eval_batches,
-                    image_size=cfg.image_size, text_len=args.text_len,
-                    vocab_size=cfg.vocab_size, seed=args.seed + 1,
-                )
-                rmetrics = evaluate_retrieval(state, eval_ds)
+            if (
+                args.eval_interval > 0
+                and step % args.eval_interval == 0
+                and eval_batches
+            ):
+                rmetrics = evaluate_retrieval(state, eval_batches)
                 writer.scalars(rmetrics, step)
                 print(
                     f"[retrieval @ {step}] "

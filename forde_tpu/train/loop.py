@@ -27,7 +27,11 @@ import numpy as np
 from forde_tpu.brain.slow_loop import moe_slow_loop_step
 from forde_tpu.core import mesh as mesh_lib
 from forde_tpu.core.config import BrainConfig, DTypePolicy, LLMConfig
-from forde_tpu.data.lm import create_dummy_dataset, create_lm_dataset
+from forde_tpu.data.lm import (
+    create_dummy_dataset,
+    create_lm_dataset,
+    create_markov_dataset,
+)
 from forde_tpu.data.prefetch import prefetch_to_device
 from forde_tpu.obs.metrics import (
     REFERENCE_TAGS,
@@ -50,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_epochs", type=int, default=1)
     p.add_argument("--steps_per_epoch", type=int, default=1000)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--aux_loss_weight", type=float, default=0.01,
+                   help="MoE aux loss weight (reference train.py default)")
     # model args (reference train.py:195-207)
     p.add_argument("--d_model", type=int, default=256)
     p.add_argument("--num_layers", type=int, default=4)
@@ -63,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_nsa", action="store_true")
     p.add_argument("--no_mhc", action="store_true")
     p.add_argument("--use_dummy_data", action="store_true")
+    p.add_argument("--use_markov_data", action="store_true",
+                   help="structured synthetic data with a known entropy "
+                        "floor (learnable offline; see data/lm.py)")
+    p.add_argument("--markov_active_vocab", type=int, default=8192)
+    p.add_argument("--markov_p", type=float, default=0.85)
     p.add_argument("--slow_loop_interval", type=int, default=100,
                    help="0 disables the brain update")
     p.add_argument("--checkpoint_dir", type=str, default=None)
@@ -76,6 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--moe_dispatch", choices=["dense", "capacity"],
                    default="dense")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over layers (fast compiles; see PERF.md)")
     p.add_argument("--expert_parallelism", type=int, default=1,
                    help="size of the expert mesh axis")
     p.add_argument("--profile_dir", type=str, default=None)
@@ -103,6 +116,7 @@ def config_from_args(args) -> LLMConfig:
         num_streams=args.num_streams,
         moe_dispatch=args.moe_dispatch,
         remat=args.remat,
+        scan_layers=args.scan_layers,
         dropout_rate=0.0,
         dtypes=DTypePolicy.bf16() if args.bf16 else DTypePolicy.fp32(),
     )
@@ -141,7 +155,19 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     run_name = f"{args.experiment_name}_{datetime.now():%Y%m%d_%H%M%S}"
     writer = MetricsWriter(f"runs/{run_name}")
 
-    if args.use_dummy_data:
+    if args.use_markov_data:
+        dataset = create_markov_dataset(
+            args.batch_size, args.seq_len, config.vocab_size,
+            num_batches=args.steps_per_epoch * args.num_epochs,
+            active_vocab=args.markov_active_vocab, p=args.markov_p,
+            seed=args.seed,
+        )
+        print(
+            f"markov data: active_vocab {dataset.active_vocab} p {dataset.p} "
+            f"unigram floor {np.log(dataset.active_vocab):.3f} nats, "
+            f"perfect-model floor {dataset.entropy_floor():.3f} nats"
+        )
+    elif args.use_dummy_data:
         dataset = create_dummy_dataset(
             args.batch_size, args.seq_len, config.vocab_size,
             num_batches=args.steps_per_epoch * args.num_epochs,
@@ -165,7 +191,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             batches = prefetch_to_device(iter(dataset), sharding=batch_sharding)
             for batch in batches:
                 state, metrics = train_step(
-                    state, batch, aux_loss_weight=1.0
+                    state, batch, aux_loss_weight=args.aux_loss_weight
                 )
                 global_step += 1
                 meter.step()
@@ -202,6 +228,12 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                     and global_step % args.slow_loop_interval == 0
                 ):
                     rng, slow_key = jax.random.split(rng)
+                    # Drain queued async fast-loop work BEFORE the timer so
+                    # the metric measures the brain update, not the backlog
+                    # of dispatched train steps. (block_until_ready does not
+                    # synchronize through the axon tunnel; a host transfer
+                    # of a value produced by the last step does.)
+                    jax.device_get(metrics["loss/total"])
                     t0 = time.perf_counter()
                     new_params, new_mutable, diag = moe_slow_loop_step(
                         state.params,
@@ -217,7 +249,9 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                         params=new_params,
                         stats_buffer=new_mutable["stats_buffer"],
                     )
-                    jax.device_get(diag["skipped"])  # sync: async dispatch skews timing
+                    # One bulk transfer of the (small) diagnostics dict;
+                    # everything below reads host values.
+                    diag = jax.device_get(diag)
                     dt_ms = (time.perf_counter() - t0) * 1000
                     writer.scalar("SlowLoop/latency_ms", dt_ms, global_step)
                     writer.scalar(
