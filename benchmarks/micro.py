@@ -156,12 +156,28 @@ def main() -> None:
     results["flash_window_attn_2048"] = timeit(flash, q, kk, v)
     results["masked_ref_attn_2048"] = timeit(ref, q, kk, v)
 
+    # Ops whose measured time is dominated by the ~2ms-per-iteration floor
+    # of scan/dispatch overhead rather than the op itself: comparing them
+    # against the reference's laptop numbers is not apples-to-apples.
+    floor_ms = 1.0
     print(f"\n{'benchmark':<28}{'ours (ms)':>12}{'reference (ms)':>16}{'speedup':>10}")
     for name, ms in results.items():
         ref_ms = REFERENCE_MS.get(name)
         ref_str = f"{ref_ms:>16.3f}" if ref_ms else f"{'—':>16}"
-        speedup = f"{ref_ms / ms:>9.0f}x" if ref_ms else f"{'—':>10}"
+        at_floor = ref_ms is not None and ms < floor_ms and ref_ms < floor_ms
+        if ref_ms and at_floor:
+            speedup = f"{'(floor)':>10}"
+        elif ref_ms:
+            speedup = f"{ref_ms / ms:>9.0f}x"
+        else:
+            speedup = f"{'—':>10}"
         print(f"{name:<28}{ms:>12.3f}{ref_str}{speedup}")
+    print(
+        "\nNOTE: rows marked (floor) are at the measurement floor on both "
+        "sides — per-op latencies under ~1ms are dominated by dispatch/"
+        "loop overhead here and by laptop overhead in the reference "
+        "artifact; the comparison is not meaningful at that scale."
+    )
 
     print("\n" + json.dumps({k: round(v, 4) for k, v in results.items()}))
 

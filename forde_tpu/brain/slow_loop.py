@@ -35,25 +35,9 @@ from forde_tpu.core.config import BrainConfig
 
 _LAYER_RE = re.compile(r"layer[_s]*(\d+)")
 
-
-class MoESlowLoopState:
-    """Host-side accumulator container (reference moe_slow_loop.py:91-119,
-    where it is dead code — the live contract is the ``stats_buffer``
-    collection). Kept for API parity with explicit reset semantics."""
-
-    def __init__(self, num_experts: int, d_model: int, num_layers: int):
-        self.num_experts = num_experts
-        self.d_model = d_model
-        self.num_layers = num_layers
-        self.reset()
-
-    def reset(self) -> None:
-        self.step_count = 0
-        self.expert_usage_sum = jnp.zeros((self.num_layers, self.num_experts))
-        self.expert_selection_count = jnp.zeros(
-            (self.num_layers, self.num_experts)
-        )
-        self.router_entropy_sum = jnp.zeros(self.num_layers)
+# NOTE: the reference's MoESlowLoopState class (moe_slow_loop.py:91-119) is
+# dead code there and is deliberately NOT reproduced here — the live
+# fast<->slow-loop contract is the ``stats_buffer`` variable collection.
 
 
 def collect_moe_stats(

@@ -93,6 +93,17 @@ def create_mesh_for_batch(
     while data > 1 and batch_size % data != 0:
         data -= 1
     n = data * expert * context
+    total = len(jax.devices())
+    if n < total:
+        import warnings
+
+        warnings.warn(
+            f"create_mesh_for_batch: using {n}/{total} devices "
+            f"(batch_size={batch_size} is not divisible by a larger data "
+            f"axis with expert={expert}, context={context}); "
+            f"{total - n} devices will sit idle",
+            stacklevel=2,
+        )
     return create_mesh(
         data=data, expert=expert, context=context, devices=jax.devices()[:n]
     )
@@ -101,6 +112,13 @@ def create_mesh_for_batch(
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(AXIS_DATA))
+
+
+def tokens_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, S) token batches: batch over ``data``, sequence over
+    ``context`` when context parallelism is active."""
+    ctx = AXIS_CONTEXT if mesh.shape.get(AXIS_CONTEXT, 1) > 1 else None
+    return NamedSharding(mesh, P(AXIS_DATA, ctx))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

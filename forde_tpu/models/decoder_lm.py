@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
+from jax.sharding import Mesh
 
 from forde_tpu.core.config import LLMConfig, create_default_config  # noqa: F401
 from forde_tpu.nn.attention import CausalSelfAttention, NativeSparseAttention
@@ -31,9 +32,15 @@ from forde_tpu.nn.moe import MoEStatefulLayer
 
 
 class DecoderBlock(nn.Module):
-    """Pre-norm decoder block (reference model.py:72-199)."""
+    """Pre-norm decoder block (reference model.py:72-199).
+
+    ``mesh`` (optional) enables the explicit-parallel paths: shard_map EP
+    for MoE (config.moe_dispatch == "ep") and ring attention over the
+    mesh's ``context`` axis for the dense-attention sublayer.
+    """
 
     config: LLMConfig
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -81,6 +88,7 @@ class DecoderBlock(nn.Module):
                 impl=cfg.attention_impl,
                 dtype=dtype,
                 max_decode_len=cfg.max_seq_len,
+                mesh=self.mesh,
                 name="causal_attention",
             )(attn_input, mask, decode=decode)
 
@@ -110,6 +118,7 @@ class DecoderBlock(nn.Module):
                 dispatch=cfg.moe_dispatch,
                 capacity_factor=cfg.moe_capacity_factor,
                 dtype=dtype,
+                mesh=self.mesh,
                 name="moe",
             )(ffn_input)
         else:
@@ -149,13 +158,14 @@ class _ScanBlockBody(nn.Module):
 
     config: LLMConfig
     deterministic: bool = True
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, carry, _):
         x, streams = carry
-        x, streams, aux = DecoderBlock(config=self.config, name="block")(
-            x, streams, None, self.deterministic
-        )
+        x, streams, aux = DecoderBlock(
+            config=self.config, mesh=self.mesh, name="block"
+        )(x, streams, None, self.deterministic)
         return (x, streams), aux
 
 
@@ -166,6 +176,7 @@ class FORDEDecoderLM(nn.Module):
     """
 
     config: LLMConfig
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -241,7 +252,8 @@ class FORDEDecoderLM(nn.Module):
                 length=cfg.num_layers,
             )
             (x, streams), aux_stack = scan_cls(
-                config=cfg, deterministic=deterministic, name="layers"
+                config=cfg, deterministic=deterministic, mesh=self.mesh,
+                name="layers",
             )((x, streams), None)
             total_aux_loss = total_aux_loss + jnp.sum(aux_stack)
         else:
@@ -250,7 +262,7 @@ class FORDEDecoderLM(nn.Module):
                 block_cls = nn.remat(DecoderBlock, static_argnums=(4, 5))
             for layer_idx in range(cfg.num_layers):
                 x, streams, moe_aux_loss = block_cls(
-                    config=cfg, name=f"layer_{layer_idx}"
+                    config=cfg, mesh=self.mesh, name=f"layer_{layer_idx}"
                 )(x, streams, mask, deterministic, decode)
                 total_aux_loss = total_aux_loss + moe_aux_loss
 
@@ -283,6 +295,7 @@ class FORDEDecoderLMWithLoss(nn.Module):
     (reference model.py:297-346, with the optax import bug fixed)."""
 
     config: LLMConfig
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -292,9 +305,9 @@ class FORDEDecoderLMWithLoss(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        logits, aux_loss = FORDEDecoderLM(config=self.config, name="decoder")(
-            input_ids, mask, deterministic
-        )
+        logits, aux_loss = FORDEDecoderLM(
+            config=self.config, mesh=self.mesh, name="decoder"
+        )(input_ids, mask, deterministic)
         if labels is not None:
             shift_logits = logits[:, :-1, :]
             shift_labels = labels[:, 1:]

@@ -22,7 +22,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import Mesh
 
+from forde_tpu.core.mesh import AXIS_CONTEXT
 from forde_tpu.ops import attention_ref
 from forde_tpu.ops.attention_ref import causal_mask, sliding_window_mask
 from forde_tpu.ops.flash_attention import flash_attention
@@ -91,6 +93,11 @@ class CausalSelfAttention(nn.Module):
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     max_decode_len: int = 2048
+    # Context parallelism: when the mesh's ``context`` axis is >1, the
+    # sequence dimension arrives sharded over it and attention runs as
+    # ring attention over ICI (parallel/ring_attention.py) instead of the
+    # single-chip flash kernel.
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -135,6 +142,13 @@ class CausalSelfAttention(nn.Module):
                 out = attention_ref.mha_reference(q, keys, values, mask=attn_mask)
             else:
                 out = jnp.zeros_like(q)
+        elif (
+            self.mesh is not None
+            and self.mesh.shape.get(AXIS_CONTEXT, 1) > 1
+        ):
+            from forde_tpu.parallel.ring_attention import ring_attention
+
+            out = ring_attention(q, k, v, self.mesh, causal=True)
         else:
             out = flash_attention(q, k, v, causal=True, impl=self.impl)
         out = _merge_heads(out)

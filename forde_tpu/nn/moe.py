@@ -20,11 +20,12 @@ slow loop.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import Mesh
 
 from forde_tpu.ops import moe_dispatch
 
@@ -63,6 +64,10 @@ class ExpertsFFN(nn.Module):
         return jnp.einsum("ebsh,ehd->ebsd", h, w_down) + self.b_down.astype(
             self.dtype
         )[:, None, None, :]
+
+    def raw_params(self):
+        """Expose the stacked tensors for the explicit-EP shard_map path."""
+        return self.w_up, self.b_up, self.w_down, self.b_down
 
     def dispatched(self, expert_inputs: jnp.ndarray) -> jnp.ndarray:
         """Capacity mode: per-expert buffers (E, C, D) -> (E, C, D)."""
@@ -104,9 +109,12 @@ class MoELayer(nn.Module):
     expert_hidden_dim: int = 2048
     d_model: int = 512
     aux_loss_weight: float = 0.01
-    dispatch: str = "dense"  # "dense" | "capacity"
+    dispatch: str = "dense"  # "dense" | "capacity" | "ep"
     capacity_factor: float = 2.0
     dtype: jnp.dtype = jnp.float32
+    # Required for dispatch="ep": the device mesh whose ``expert`` axis
+    # shards the stacked expert tensors (explicit shard_map EP).
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -153,6 +161,28 @@ class MoELayer(nn.Module):
             output = moe_dispatch.capacity_combine(expert_out, plan).reshape(
                 b, s, d_model
             )
+        elif self.dispatch == "ep":
+            # Explicit expert parallelism: the router and aux loss run in
+            # the surrounding pjit computation; the dispatch/expert-FFN/
+            # combine is shard_mapped over the mesh so every device holds
+            # E/ep experts and partial outputs psum over the expert axis
+            # (parallel/expert_parallel.py).
+            if self.mesh is None:
+                raise ValueError(
+                    'dispatch="ep" requires a mesh (MoELayer(mesh=...))'
+                )
+            from forde_tpu.parallel.expert_parallel import expert_parallel_ffn
+
+            output = expert_parallel_ffn(
+                x,
+                top_k_indices,
+                top_k_probs,
+                experts.raw_params(),
+                self.mesh,
+                num_experts=self.num_experts,
+                top_k=self.top_k,
+                capacity_factor=self.capacity_factor,
+            )
         else:
             raise ValueError(f"unknown dispatch mode {self.dispatch!r}")
 
@@ -177,6 +207,7 @@ class MoEStatefulLayer(nn.Module):
     dispatch: str = "dense"
     capacity_factor: float = 2.0
     dtype: jnp.dtype = jnp.float32
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -189,6 +220,7 @@ class MoEStatefulLayer(nn.Module):
             dispatch=self.dispatch,
             capacity_factor=self.capacity_factor,
             dtype=self.dtype,
+            mesh=self.mesh,
             name="moe_layer",
         )(x)
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from forde_tpu.core.mesh import AXIS_CONTEXT
+from forde_tpu.core.mesh import AXIS_CONTEXT, AXIS_DATA
 
 NEG_INF = -1e30
 
@@ -115,7 +115,10 @@ def ring_attention(
     if scale is None:
         scale = 1.0 / float(q.shape[-1]) ** 0.5
 
-    spec = P(None, None, axis_name, None)
+    # Batch stays sharded over ``data`` so ring attention composes with DP
+    # (a None batch spec would silently all-gather the batch).
+    batch_axis = AXIS_DATA if AXIS_DATA in mesh.shape else None
+    spec = P(batch_axis, None, axis_name, None)
     fn = jax.shard_map(
         functools.partial(
             _ring_body,

@@ -110,9 +110,18 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
 
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
+    t_init = time.perf_counter()
     state = create_clip_train_state(
         cfg, init_rng, args.learning_rate, args.weight_decay,
         batch_size=args.batch_size, text_len=args.text_len,
+    )
+    n_params = sum(
+        np.prod(p.shape) for p in jax.tree.leaves(state.params)
+    )
+    print(
+        f"state created in {time.perf_counter() - t_init:.0f}s "
+        f"({n_params / 1e6:.1f}M params); compiling train step...",
+        flush=True,
     )
 
     manager = None
@@ -179,6 +188,8 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         for batch in prefetch_to_device(iter(dataset), sharding=sharding):
             state, metrics = clip_train_step(state, batch)
             step += 1
+            if meter._steps == 0:
+                print(f"first step dispatched at step {step}", flush=True)
             meter.step()
 
             if step % args.log_interval == 0:

@@ -84,13 +84,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--experiment_name", type=str, default="forde_tpu_llm")
     # TPU-first knobs
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
-    p.add_argument("--moe_dispatch", choices=["dense", "capacity"],
-                   default="dense")
+    p.add_argument("--moe_dispatch", choices=["dense", "capacity", "ep"],
+                   default="dense",
+                   help='"ep" = explicit shard_map expert parallelism '
+                        "(requires --expert_parallelism > 1)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over layers (fast compiles; see PERF.md)")
     p.add_argument("--expert_parallelism", type=int, default=1,
                    help="size of the expert mesh axis")
+    p.add_argument("--context_parallelism", type=int, default=1,
+                   help="size of the context mesh axis; >1 shards the "
+                        "sequence dim and routes dense attention through "
+                        "ring attention (requires --no_nsa)")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--plots_dir", type=str, default="plots")
     p.add_argument("--seed", type=int, default=42)
@@ -128,11 +134,32 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     config = config_from_args(args)
     brain = BrainConfig()
 
+    if args.context_parallelism > 1 and not args.no_nsa:
+        raise ValueError(
+            "--context_parallelism requires --no_nsa (ring attention "
+            "serves the dense-attention path; NSA is single-chip)"
+        )
+    if args.context_parallelism > 1 and args.seq_len % args.context_parallelism:
+        raise ValueError(
+            f"--seq_len {args.seq_len} must divide by "
+            f"--context_parallelism {args.context_parallelism}"
+        )
+    if args.moe_dispatch == "ep" and args.expert_parallelism <= 1:
+        raise ValueError('--moe_dispatch ep requires --expert_parallelism > 1')
+
     mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh_for_batch(
-        args.batch_size, expert=args.expert_parallelism
+        args.batch_size, expert=args.expert_parallelism,
+        context=args.context_parallelism,
     )
     print(f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices")
+    # The mesh becomes part of the model only for the explicit-parallel
+    # paths; the pure-pjit paths keep a mesh-free apply_fn.
+    model_mesh = (
+        mesh
+        if (args.moe_dispatch == "ep" or args.context_parallelism > 1)
+        else None
+    )
 
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
@@ -142,6 +169,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         args.learning_rate,
         args.weight_decay,
         init_batch_shape=(1, min(64, args.seq_len)),
+        mesh=model_mesh,
     )
     state = shard_train_state(state, mesh)
 
@@ -179,7 +207,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         )
 
     meter = ThroughputMeter(items_per_step=args.batch_size * args.seq_len)
-    batch_sharding = mesh_lib.batch_sharding(mesh)
+    batch_sharding = mesh_lib.tokens_sharding(mesh)
     global_step = int(state.step)
     last_metrics = {}
 

@@ -12,6 +12,7 @@ collectives.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional
 
 import jax
@@ -49,12 +50,27 @@ def create_train_state(
     weight_decay: float,
     grad_clip_norm: float = 1.0,
     init_batch_shape=(1, 64),
+    mesh: Optional[Mesh] = None,
 ) -> TrainState:
     """Initialize model + optimizer (reference create_train_state,
-    train.py:54-84)."""
-    model = FORDEDecoderLM(config=config)
+    train.py:54-84).
+
+    ``mesh`` activates the explicit-parallel model paths (shard_map EP for
+    moe_dispatch="ep", ring attention when the context axis is >1) — it
+    becomes part of apply_fn. Init always runs un-meshed on small shapes.
+    """
+    model = FORDEDecoderLM(config=config, mesh=mesh)
+    init_model = model
+    if mesh is not None:
+        # Param trees are identical across dispatch/attention modes; init
+        # through the un-meshed capacity path so the tiny init batch never
+        # hits shard_map (EP) or ring attention.
+        init_cfg = config
+        if config.moe_dispatch == "ep":
+            init_cfg = dataclasses.replace(config, moe_dispatch="capacity")
+        init_model = FORDEDecoderLM(config=init_cfg)
     dummy = jnp.ones(init_batch_shape, dtype=jnp.int32)
-    variables = model.init(rng, dummy)
+    variables = init_model.init(rng, dummy)
     params = variables["params"]
     stats_buffer = variables.get("stats_buffer", core.FrozenDict())
     tx = make_optimizer(learning_rate, weight_decay, grad_clip_norm)

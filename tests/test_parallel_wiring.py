@@ -1,0 +1,117 @@
+"""Driver-level tests: the EXPLICIT parallel paths (shard_map EP, ring
+attention CP) wired into the production model/train step must match the
+single-device run (VERDICT r1 item 5).
+
+Runs on the 8-virtual-device CPU mesh (conftest.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forde_tpu.core import mesh as mesh_lib
+from forde_tpu.core.config import DTypePolicy, LLMConfig
+from forde_tpu.train.state import create_train_state, shard_train_state
+from forde_tpu.train.step import train_step
+
+
+def _cfg(**kw):
+    base = dict(
+        vocab_size=128,
+        d_model=32,
+        num_layers=2,
+        num_heads=2,
+        head_dim=16,
+        max_seq_len=64,
+        use_moe=True,
+        num_experts=4,
+        top_k_experts=2,
+        expert_hidden_dim=64,
+        use_sparse_attention=False,
+        use_hyper_connections=True,
+        num_streams=2,
+        sinkhorn_iterations=3,
+        dropout_rate=0.0,
+        attention_impl="reference",
+        dtypes=DTypePolicy.fp32(),
+        # capacity >= T*K (factor >= E) guarantees zero dropped tokens, so
+        # capacity-routed outputs are exactly the dense-routing outputs and
+        # shard-local routing matches global routing.
+        moe_capacity_factor=4.0,
+    )
+    base.update(kw)
+    return LLMConfig(**base)
+
+
+def _run_steps(cfg, mesh, model_mesh, batch_np, n=2):
+    state = create_train_state(
+        cfg, jax.random.PRNGKey(0), 1e-2, 0.0,
+        init_batch_shape=(1, 16), mesh=model_mesh,
+    )
+    state = shard_train_state(state, mesh)
+    sharding = mesh_lib.tokens_sharding(mesh)
+    losses = []
+    for i in range(n):
+        batch = {"input_ids": jax.device_put(batch_np[i], sharding)}
+        state, metrics = train_step(state, batch, aux_loss_weight=0.01)
+        losses.append(float(metrics["loss/total"]))
+    return losses
+
+
+def _batches(n, b, s, vocab):
+    rng = np.random.RandomState(0)
+    return [rng.randint(0, vocab, (b, s)).astype(np.int32) for i in range(n)]
+
+
+class TestExpertParallelWiring:
+    def test_ep_matches_single_device(self):
+        """moe_dispatch='ep' on (data=2, expert=2) == capacity on 1 device."""
+        cfg_ep = _cfg(moe_dispatch="ep")
+        cfg_ref = _cfg(moe_dispatch="capacity")
+        batches = _batches(2, 4, 32, cfg_ep.vocab_size)
+
+        mesh_ep = mesh_lib.create_mesh(
+            data=2, expert=2, devices=jax.devices()[:4]
+        )
+        mesh_1 = mesh_lib.create_mesh(data=1, devices=jax.devices()[:1])
+
+        ep_losses = _run_steps(cfg_ep, mesh_ep, mesh_ep, batches)
+        ref_losses = _run_steps(cfg_ref, mesh_1, None, batches)
+        np.testing.assert_allclose(ep_losses, ref_losses, rtol=0, atol=2e-5)
+
+    def test_ep_requires_mesh(self):
+        import pytest
+
+        cfg = _cfg(moe_dispatch="ep")
+        with pytest.raises(ValueError, match="mesh"):
+            _run_steps(
+                cfg, mesh_lib.create_mesh(data=1, devices=jax.devices()[:1]),
+                None, _batches(1, 2, 16, cfg.vocab_size), n=1,
+            )
+
+
+class TestContextParallelWiring:
+    def test_cp_matches_single_device(self):
+        """context=4 ring attention training == single-device training."""
+        cfg = _cfg(use_moe=False)
+        batches = _batches(2, 2, 32, cfg.vocab_size)
+
+        mesh_cp = mesh_lib.create_mesh(
+            data=1, context=4, devices=jax.devices()[:4]
+        )
+        mesh_1 = mesh_lib.create_mesh(data=1, devices=jax.devices()[:1])
+
+        cp_losses = _run_steps(cfg, mesh_cp, mesh_cp, batches)
+        ref_losses = _run_steps(cfg, mesh_1, None, batches)
+        np.testing.assert_allclose(cp_losses, ref_losses, rtol=0, atol=2e-5)
+
+    def test_dp_cp_compose(self):
+        """(data=2, context=4) runs and stays finite with sharded tokens."""
+        cfg = _cfg(use_moe=False)
+        mesh = mesh_lib.create_mesh(
+            data=2, context=4, devices=jax.devices()[:8]
+        )
+        losses = _run_steps(
+            cfg, mesh, mesh, _batches(2, 4, 32, cfg.vocab_size)
+        )
+        assert all(np.isfinite(x) for x in losses)

@@ -6,17 +6,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from forde_tpu.nn.stateful import StatefulLayer, activation_stats
-from forde_tpu.ops.binary_step import binary_step
 from forde_tpu.ops.stateful import stateful_multiplex
 
 
 def test_binary_step_forward_and_straight_through():
-    x = jnp.array([-2.0, -0.1, 0.0, 0.1, 3.0])
+    """Specialist branch: hard threshold forward, straight-through grad
+    (defined inside the multiplex custom-VJP, README.md:47-56)."""
+    x = jnp.array([[-2.0, -0.1, 0.0, 0.1, 3.0]])
+    spec = jnp.full((5,), 2, jnp.int32)  # all specialists
+    # gate=0 isolates pure binary_step from the gated residual
+    out = stateful_multiplex(x, spec, specialist_gate=0.0, impl="reference")
     np.testing.assert_array_equal(
-        np.asarray(binary_step(x)), [0.0, 0.0, 0.0, 1.0, 1.0]
+        np.asarray(out[0]), [0.0, 0.0, 0.0, 1.0, 1.0]
     )
-    g = jax.grad(lambda x: (binary_step(x) * jnp.arange(5.0)).sum())(x)
-    np.testing.assert_array_equal(np.asarray(g), np.arange(5.0))
+    g = jax.grad(
+        lambda x: (
+            stateful_multiplex(x, spec, 0.0, "reference") * jnp.arange(5.0)
+        ).sum()
+    )(x)
+    # straight-through: d step(z)/dz == 1 everywhere
+    np.testing.assert_array_equal(np.asarray(g[0]), np.arange(5.0))
 
 
 def test_multiplex_semantics():
