@@ -182,9 +182,12 @@ class DualEncoderConfig:
     forde_lite: bool = False
     # Use fused Pallas StatefulLayer kernel on TPU
     stateful_kernel_impl: str = "auto"
-    # Rematerialize tower blocks: recompute activations in backward instead
-    # of saving them to HBM — a bandwidth win when the step is memory-bound.
-    remat: bool = False
+    # Rematerialization policy: False/"none" saves everything;
+    # True/"block" remats whole tower blocks (recomputes attention too —
+    # measured -23% when not HBM-limited); "mlp" remats ONLY the
+    # StatefulLayer, whose two (B, S, mlp_hidden) intermediates are the
+    # largest per-block tensors — the cheap way to unlock bigger batches.
+    remat: object = False
     dtypes: DTypePolicy = field(default_factory=DTypePolicy)
 
     def replace(self, **kw) -> "DualEncoderConfig":

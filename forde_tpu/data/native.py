@@ -69,6 +69,17 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.batch_resize_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
         lib.batch_pad_tokens.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_int32),
@@ -80,6 +91,47 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         _lib = lib
         return _lib
+
+
+def batch_resize_u8(
+    images: List[np.ndarray], out_h: int = 224, out_w: int = 224,
+    threads: int = 0,
+) -> np.ndarray:
+    """Resize a list of uint8 HWC images to one uint8 NHWC batch.
+
+    The fp32 normalize step moves to the device: a remote-accelerator
+    host->device link (the axon tunnel moves ~20 MB/s) makes image-batch
+    bytes the training bottleneck, and uint8 is 4x smaller than fp32.
+    Pair with ``prefetch.prefetch_to_device`` which converts uint8 image
+    leaves to fp32/255 on device after the transfer.
+    """
+    assert images, "empty batch"
+    channels = images[0].shape[-1]
+    lib = load_library()
+    if lib is None:
+        f32 = _resize_normalize_numpy(images, out_h, out_w)
+        return np.clip(f32 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+    images = [np.ascontiguousarray(img, dtype=np.uint8) for img in images]
+    n = len(images)
+    ptrs = (ctypes.c_void_p * n)(
+        *[img.ctypes.data_as(ctypes.c_void_p) for img in images]
+    )
+    heights = np.asarray([img.shape[0] for img in images], np.int32)
+    widths = np.asarray([img.shape[1] for img in images], np.int32)
+    out = np.empty((n, out_h, out_w, channels), np.uint8)
+    lib.batch_resize_u8(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        heights.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        channels,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_h,
+        out_w,
+        threads,
+    )
+    return out
 
 
 def _resize_normalize_numpy(

@@ -14,6 +14,12 @@ import threading
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _u8_to_unit_f32(x):
+    return x.astype(jnp.float32) / 255.0
 
 
 def prefetch_to_device(
@@ -29,15 +35,23 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
 
+    def put(x):
+        x = (
+            jax.device_put(x, sharding)
+            if sharding is not None
+            else jax.device_put(x)
+        )
+        # uint8 image transport: ship 1/4 the bytes over the (slow) host->
+        # device link, normalize to fp32 [0,1] on device (pairs with
+        # data/native.batch_resize_u8).
+        if x.dtype == jnp.uint8:
+            x = _u8_to_unit_f32(x)
+        return x
+
     def producer():
         try:
             for batch in iterator:
-                if sharding is not None:
-                    batch = jax.tree.map(
-                        lambda x: jax.device_put(x, sharding), batch
-                    )
-                else:
-                    batch = jax.tree.map(jax.device_put, batch)
+                batch = jax.tree.map(put, batch)
                 q.put(batch)
             q.put(sentinel)
         except BaseException as exc:  # noqa: BLE001 — re-raised in consumer

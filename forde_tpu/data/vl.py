@@ -88,6 +88,9 @@ class AlignedSyntheticVLDataset:
         noise: float = 0.05,
         seed: int = 42,
         class_range: Optional[tuple] = None,
+        compositional: bool = True,
+        num_bins: int = 16,
+        distinct: bool = False,
     ):
         self.batch_size = batch_size
         self.num_batches = num_batches
@@ -97,6 +100,7 @@ class AlignedSyntheticVLDataset:
         self.num_classes = num_classes
         self.noise = noise
         self.seed = seed
+        self.distinct = distinct
         self.class_lo, self.class_hi = class_range or (0, num_classes)
         master = np.random.RandomState(seed)
         self.latents = master.randn(num_classes, latent_dim).astype(np.float32)
@@ -105,13 +109,39 @@ class AlignedSyntheticVLDataset:
             master.randn(latent_dim, grid * grid * 3).astype(np.float32)
             / np.sqrt(latent_dim)
         )
-        # Fixed caption per class: random length in [6, text_len], ids >= 1.
-        self.captions = master.randint(
-            1, vocab_size, size=(num_classes, text_len)
-        ).astype(np.int32)
-        self.cap_lens = master.randint(
-            6, text_len + 1, size=num_classes
-        ).astype(np.int32)
+        if compositional:
+            # COMPOSITIONAL captions: token i describes latent factor i,
+            # quantized into num_bins quantile bins
+            # (token = 1 + i*num_bins + bin). The caption is a discretized
+            # description of the SAME latent that renders the image, so a
+            # dual encoder that learns the token<->factor code generalizes
+            # to held-out latent combinations — random per-class captions
+            # (compositional=False) make cross-class generalization
+            # information-theoretically impossible.
+            assert vocab_size > 1 + latent_dim * num_bins
+            edges = np.quantile(
+                master.randn(100_000), np.linspace(0, 1, num_bins + 1)[1:-1]
+            )
+            bins = np.stack(
+                [np.digitize(self.latents[:, i], edges)
+                 for i in range(latent_dim)],
+                axis=1,
+            )  # (C, latent_dim) in [0, num_bins)
+            offsets = 1 + np.arange(latent_dim) * num_bins
+            caps = (offsets[None, :] + bins).astype(np.int32)
+            self.captions = np.zeros((num_classes, text_len), np.int32)
+            ln = min(latent_dim, text_len)
+            self.captions[:, :ln] = caps[:, :ln]
+            self.cap_lens = np.full(num_classes, ln, np.int32)
+        else:
+            # Fixed random caption per class (round-1 behavior): length in
+            # [6, text_len], ids >= 1.
+            self.captions = master.randint(
+                1, vocab_size, size=(num_classes, text_len)
+            ).astype(np.int32)
+            self.cap_lens = master.randint(
+                6, text_len + 1, size=num_classes
+            ).astype(np.int32)
 
     def __len__(self):
         return self.num_batches
@@ -128,14 +158,25 @@ class AlignedSyntheticVLDataset:
             img = img + rng.randn(*img.shape).astype(np.float32) * self.noise
         return np.clip(img, 0.0, 1.0).astype(np.float32)
 
+    def class_schedule(self, rng) -> np.ndarray:
+        """(num_batches, B) class ids. ``distinct=True`` samples without
+        replacement across the WHOLE schedule (retrieval eval needs unique
+        ground truths — duplicated classes make R@K ill-defined)."""
+        pool = np.arange(self.class_lo, self.class_hi)
+        total = self.batch_size * self.num_batches
+        if self.distinct and pool.size >= total:
+            return rng.choice(pool, size=total, replace=False).reshape(
+                self.num_batches, self.batch_size
+            )
+        return np.stack([
+            rng.choice(pool, size=self.batch_size,
+                       replace=self.batch_size > pool.size)
+            for _ in range(self.num_batches)
+        ])
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(self.seed + 7)
-        pool = np.arange(self.class_lo, self.class_hi)
-        for _ in range(self.num_batches):
-            classes = rng.choice(
-                pool, size=self.batch_size,
-                replace=self.batch_size > pool.size,
-            )
+        for classes in self.class_schedule(rng):
             ids = self.captions[classes].copy()
             mask = (
                 np.arange(self.text_len)[None, :]
@@ -147,6 +188,71 @@ class AlignedSyntheticVLDataset:
                 "input_ids": ids,
                 "attention_mask": mask,
             }
+
+
+class AlignedDeviceRenderer:
+    """On-device batch synthesis for AlignedSyntheticVLDataset.
+
+    The axon tunnel moves ~20 MB/s host->device; a (256, 224, 224, 3) fp32
+    image batch is 154 MB — host-side rendering makes training transfer-
+    bound at ~18 pairs/s. This renderer uploads the tiny class tables
+    (latents/basis/captions) ONCE and synthesizes each batch on the TPU
+    from a (B,) int32 class vector + PRNG key, i.e. the on-device
+    preprocessing path the blueprint mandates (SURVEY.md §7.1 data/:
+    "on-device resize/normalize, double-buffered to HBM").
+
+    Produces batches numerically matching AlignedSyntheticVLDataset up to
+    the noise stream (device PRNG instead of numpy).
+    """
+
+    def __init__(self, ds: AlignedSyntheticVLDataset):
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.ds = ds
+        self.latents = jnp.asarray(ds.latents)
+        self.basis = jnp.asarray(ds.basis)
+        self.captions = jnp.asarray(ds.captions)
+        self.cap_lens = jnp.asarray(ds.cap_lens)
+        self._render = jax.jit(self._render_impl)
+
+    def _render_impl(self, classes, key):
+        jnp = self._jnp
+        ds = self.ds
+        g = ds.grid
+        coarse = jnp.tanh(self.latents[classes] @ self.basis)
+        coarse = coarse.reshape(-1, g, g, 3)
+        rep = -(-ds.image_size // g)
+        img = jnp.repeat(jnp.repeat(coarse, rep, axis=1), rep, axis=2)
+        img = img[:, : ds.image_size, : ds.image_size, :]
+        img = (img + 1.0) / 2.0
+        if ds.noise:
+            import jax
+
+            img = img + jax.random.normal(key, img.shape) * ds.noise
+        img = jnp.clip(img, 0.0, 1.0)
+        ids = self.captions[classes]
+        mask = (
+            jnp.arange(ds.text_len)[None, :] < self.cap_lens[classes][:, None]
+        ).astype(jnp.int32)
+        return {
+            "image": img,
+            "input_ids": ids * mask,
+            "attention_mask": mask,
+        }
+
+    def batches(self):
+        """Device-resident batch iterator (classes sampled on host)."""
+        import jax
+
+        jnp = self._jnp
+        ds = self.ds
+        rng = np.random.RandomState(ds.seed + 7)
+        key = jax.random.PRNGKey(ds.seed + 13)
+        for classes in ds.class_schedule(rng):
+            key, sub = jax.random.split(key)
+            yield self._render(jnp.asarray(classes, jnp.int32), sub)
 
 
 def hold_out_eval(batches, num_eval: int):
@@ -247,7 +353,10 @@ def create_vl_dataset(
                             return_tensors="np",
                         )
                         yield {
-                            "image": native.batch_resize_normalize(
+                            # uint8 over the wire; prefetch_to_device
+                            # normalizes to fp32 [0,1] on device (the
+                            # host->device link is the bottleneck).
+                            "image": native.batch_resize_u8(
                                 images, image_size, image_size
                             ),
                             "input_ids": tok["input_ids"].astype(np.int32),

@@ -80,9 +80,7 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos.astype(dtype)
 
-        block_cls = FORDETransformerBlock
-        if cfg.remat:
-            block_cls = nn.remat(FORDETransformerBlock, static_argnums=(3,))
+        block_cls, remat_mlp = _block_cls(cfg)
         for i in range(tw.num_layers):
             x = block_cls(
                 num_heads=tw.num_heads,
@@ -93,11 +91,20 @@ class VisionTransformer(nn.Module):
                 stateful_impl=cfg.stateful_kernel_impl,
                 dropout_rate=tw.dropout_rate,
                 dtype=dtype,
+                remat_mlp=remat_mlp,
                 name=f"block_{i}",
             )(x, None, deterministic)
 
         x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
         return x[:, 0, :]  # CLS
+
+
+def _block_cls(cfg: DualEncoderConfig):
+    """Resolve the remat policy: "block" remats whole blocks, "mlp" only
+    the StatefulLayer (see DualEncoderConfig.remat)."""
+    if cfg.remat in (True, "block"):
+        return nn.remat(FORDETransformerBlock, static_argnums=(3,)), False
+    return FORDETransformerBlock, cfg.remat == "mlp"
 
 
 class TextTransformer(nn.Module):
@@ -133,9 +140,7 @@ class TextTransformer(nn.Module):
         )
         x = x + pos[:, :s].astype(dtype)
 
-        block_cls = FORDETransformerBlock
-        if cfg.remat:
-            block_cls = nn.remat(FORDETransformerBlock, static_argnums=(3,))
+        block_cls, remat_mlp = _block_cls(cfg)
         for i in range(tw.num_layers):
             x = block_cls(
                 num_heads=tw.num_heads,
@@ -146,6 +151,7 @@ class TextTransformer(nn.Module):
                 stateful_impl=cfg.stateful_kernel_impl,
                 dropout_rate=tw.dropout_rate,
                 dtype=dtype,
+                remat_mlp=remat_mlp,
                 name=f"block_{i}",
             )(x, attention_mask, deterministic)
 

@@ -28,6 +28,7 @@ from forde_tpu.core.mesh import AXIS_CONTEXT
 from forde_tpu.ops import attention_ref
 from forde_tpu.ops.attention_ref import causal_mask, sliding_window_mask
 from forde_tpu.ops.flash_attention import flash_attention
+from forde_tpu.ops.nsa_attention import small_kv_attention
 
 
 def create_causal_mask(seq_len: int) -> jnp.ndarray:
@@ -234,18 +235,12 @@ class NativeSparseAttention(nn.Module):
         k = _split_heads(k, self.num_heads, self.head_dim)
         v = _split_heads(v, self.num_heads, self.head_dim)
 
-        scale = 1.0 / jnp.sqrt(self.head_dim)
-        scores = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            * scale
-        )
-        query_positions = jnp.arange(s)[None, None, :, None]
-        pool_ends = ((jnp.arange(num_pools) + 1) * self.compression_ratio)[
-            None, None, None, :
-        ]
-        scores = jnp.where(query_positions >= pool_ends, scores, -1e9)
-        weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        # Pool p is visible to queries at positions >= (p+1)*ratio — the
+        # pool-granular causal mask, expressed as per-key thresholds for
+        # the fused small-KV kernel (scores never materialize in HBM).
+        pool_ends = (jnp.arange(num_pools) + 1) * self.compression_ratio
+        key_pos = jnp.broadcast_to(pool_ends[None, :], (b, num_pools))
+        out = small_kv_attention(q, k, v, key_pos, impl=self.impl)
         out = _merge_heads(out).astype(x.dtype)
         return nn.Dense(d_model, name="compressed_out_proj", dtype=self.dtype)(out)
 
@@ -276,15 +271,9 @@ class NativeSparseAttention(nn.Module):
         kk = _split_heads(kk, self.num_heads, self.head_dim)
         vv = _split_heads(vv, self.num_heads, self.head_dim)
 
-        scale = 1.0 / jnp.sqrt(self.head_dim)
-        scores = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, kk, preferred_element_type=jnp.float32)
-            * scale
-        )
-        query_pos = jnp.arange(s)[None, None, :, None]
-        key_pos = top_k_indices[:, None, None, :]
-        scores = jnp.where(query_pos >= key_pos, scores, -1e9)
-        weights = jax.nn.softmax(scores, axis=-1).astype(vv.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, vv)
+        # Selected token j is visible to queries at positions >= its source
+        # index (the reference's index-based causal mask), fused so the
+        # (B, H, S, k) scores stay in VMEM.
+        out = small_kv_attention(q, kk, vv, top_k_indices, impl=self.impl)
         out = _merge_heads(out).astype(x.dtype)
         return nn.Dense(d_model, name="topk_out_proj", dtype=self.dtype)(out)

@@ -69,6 +69,11 @@ class FORDETransformerBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     sense: bool = True
+    # Selective remat: recompute ONLY the StatefulLayer in the backward
+    # (its two (B, S, mlp_hidden) intermediates are the largest per-block
+    # tensors); attention residuals stay saved. Cheaper than whole-block
+    # remat (which recomputes attention too, measured -23%).
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(
@@ -90,7 +95,10 @@ class FORDETransformerBlock(nn.Module):
             )
         x = x + attn_out
 
-        mlp_out = StatefulLayer(
+        stateful_cls = StatefulLayer
+        if self.remat_mlp:
+            stateful_cls = nn.remat(StatefulLayer, prevent_cse=False)
+        mlp_out = stateful_cls(
             hidden_dim=self.mlp_hidden_dim,
             d_model=self.d_model,
             specialist_gate=self.specialist_gate,

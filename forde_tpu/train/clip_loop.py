@@ -29,6 +29,7 @@ from forde_tpu.core.config import (
 )
 from forde_tpu.data.prefetch import prefetch_to_device
 from forde_tpu.data.vl import (
+    AlignedDeviceRenderer,
     AlignedSyntheticVLDataset,
     SyntheticVLDataset,
     create_vl_dataset,
@@ -48,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--text_len", type=int, default=64)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup; escapes the uniform-softmax "
+                        "saddle at practical contrastive peak LRs")
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--num_steps", type=int, default=1000)
     p.add_argument("--log_interval", type=int, default=10)
@@ -114,6 +118,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     state = create_clip_train_state(
         cfg, init_rng, args.learning_rate, args.weight_decay,
         batch_size=args.batch_size, text_len=args.text_len,
+        warmup_steps=args.warmup_steps,
     )
     n_params = sum(
         np.prod(p.shape) for p in jax.tree.leaves(state.params)
@@ -139,20 +144,27 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         # Train on classes [0, 0.9C), evaluate retrieval on a disjoint
         # held-out class range — generalization, not memorization.
         split = int(args.aligned_classes * 0.9)
-        dataset = AlignedSyntheticVLDataset(
+        # Rendered ON DEVICE: only (B,) class ids cross the host->device
+        # link per batch (the tunnel moves ~20 MB/s; fp32 image batches
+        # would make training transfer-bound).
+        dataset = AlignedDeviceRenderer(AlignedSyntheticVLDataset(
             args.batch_size, args.num_steps, image_size=cfg.image_size,
             text_len=args.text_len, vocab_size=cfg.vocab_size,
             num_classes=args.aligned_classes, class_range=(0, split),
             seed=args.seed,
-        )
+        )).batches()
         if args.eval_interval > 0:
-            eval_batches = list(AlignedSyntheticVLDataset(
-                args.batch_size, args.eval_batches,
-                image_size=cfg.image_size, text_len=args.text_len,
-                vocab_size=cfg.vocab_size, num_classes=args.aligned_classes,
-                class_range=(split, args.aligned_classes),
-                seed=args.seed + 1,
-            ))
+            eval_batches = list(AlignedDeviceRenderer(
+                AlignedSyntheticVLDataset(
+                    args.batch_size, args.eval_batches,
+                    image_size=cfg.image_size, text_len=args.text_len,
+                    vocab_size=cfg.vocab_size,
+                    num_classes=args.aligned_classes,
+                    class_range=(split, args.aligned_classes),
+                    seed=args.seed + 1,
+                    distinct=True,
+                )
+            ).batches())
     elif args.use_dummy_data:
         dataset = SyntheticVLDataset(
             args.batch_size, args.num_steps, image_size=cfg.image_size,

@@ -45,6 +45,7 @@ def create_clip_train_state(
     batch_size: int,
     text_len: Optional[int] = None,
     grad_clip_norm: float = 1.0,
+    warmup_steps: int = 0,
 ) -> CLIPTrainState:
     """Initialize with REAL batch shapes: the gradient taps are shaped like
     the activations they tap, so init must see the training batch shape."""
@@ -64,7 +65,9 @@ def create_clip_train_state(
     return CLIPTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
-        tx=make_optimizer(learning_rate, weight_decay, grad_clip_norm),
+        tx=make_optimizer(
+            learning_rate, weight_decay, grad_clip_norm, warmup_steps
+        ),
         brain=variables.get("brain", core.FrozenDict()),
         stats_buffer=variables.get("stats_buffer", core.FrozenDict()),
         perturbations=perturbations,

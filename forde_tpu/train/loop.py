@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--seq_len", type=int, default=512)
     p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps (0 = constant LR)")
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--num_epochs", type=int, default=1)
     p.add_argument("--steps_per_epoch", type=int, default=1000)
@@ -170,6 +172,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         args.weight_decay,
         init_batch_shape=(1, min(64, args.seq_len)),
         mesh=model_mesh,
+        warmup_steps=args.warmup_steps,
     )
     state = shard_train_state(state, mesh)
 

@@ -34,12 +34,30 @@ class TrainState(train_state.TrainState):
 
 
 def make_optimizer(
-    learning_rate: float, weight_decay: float, grad_clip_norm: float = 1.0
+    learning_rate: float,
+    weight_decay: float,
+    grad_clip_norm: float = 1.0,
+    warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
-    """clip_by_global_norm(1.0) -> adamw (reference train.py:74-77)."""
+    """clip_by_global_norm(1.0) -> adamw (reference train.py:74-77).
+
+    ``warmup_steps`` > 0 ramps the LR linearly from 0 — without it the
+    contrastive dual encoder falls into the uniform-softmax saddle (loss
+    pinned at ln(B), grads ~1e-3) within the first ~50 steps at practical
+    peak LRs; measured on v5e, warmup escapes it.
+    """
+    lr = learning_rate
+    if warmup_steps > 0:
+        lr = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                optax.constant_schedule(learning_rate),
+            ],
+            [warmup_steps],
+        )
     return optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),
-        optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay),
+        optax.adamw(learning_rate=lr, weight_decay=weight_decay),
     )
 
 
@@ -51,6 +69,7 @@ def create_train_state(
     grad_clip_norm: float = 1.0,
     init_batch_shape=(1, 64),
     mesh: Optional[Mesh] = None,
+    warmup_steps: int = 0,
 ) -> TrainState:
     """Initialize model + optimizer (reference create_train_state,
     train.py:54-84).
@@ -73,7 +92,9 @@ def create_train_state(
     variables = init_model.init(rng, dummy)
     params = variables["params"]
     stats_buffer = variables.get("stats_buffer", core.FrozenDict())
-    tx = make_optimizer(learning_rate, weight_decay, grad_clip_norm)
+    tx = make_optimizer(
+        learning_rate, weight_decay, grad_clip_norm, warmup_steps
+    )
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, stats_buffer=stats_buffer
     )
