@@ -91,6 +91,7 @@ class AlignedSyntheticVLDataset:
         compositional: bool = True,
         num_bins: int = 16,
         distinct: bool = False,
+        sample_seed: Optional[int] = None,
     ):
         self.batch_size = batch_size
         self.num_batches = num_batches
@@ -99,7 +100,13 @@ class AlignedSyntheticVLDataset:
         self.vocab_size = vocab_size
         self.num_classes = num_classes
         self.noise = noise
+        # ``seed`` fixes the WORLD (latents/basis/captions — the class
+        # identity tables); ``sample_seed`` varies only which classes are
+        # drawn and the image noise. An eval set must share the training
+        # world (same seed) with a different sample_seed — changing seed
+        # creates a different universe and makes every eval impossible.
         self.seed = seed
+        self.sample_seed = seed if sample_seed is None else sample_seed
         self.distinct = distinct
         self.class_lo, self.class_hi = class_range or (0, num_classes)
         master = np.random.RandomState(seed)
@@ -175,7 +182,7 @@ class AlignedSyntheticVLDataset:
         ])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.RandomState(self.seed + 7)
+        rng = np.random.RandomState(self.sample_seed + 7)
         for classes in self.class_schedule(rng):
             ids = self.captions[classes].copy()
             mask = (
@@ -248,8 +255,8 @@ class AlignedDeviceRenderer:
 
         jnp = self._jnp
         ds = self.ds
-        rng = np.random.RandomState(ds.seed + 7)
-        key = jax.random.PRNGKey(ds.seed + 13)
+        rng = np.random.RandomState(ds.sample_seed + 7)
+        key = jax.random.PRNGKey(ds.sample_seed + 13)
         for classes in ds.class_schedule(rng):
             key, sub = jax.random.split(key)
             yield self._render(jnp.asarray(classes, jnp.int32), sub)

@@ -53,15 +53,24 @@ def evaluate_retrieval(
     state: CLIPTrainState,
     batches: Iterable[Dict],
     ks: Sequence[int] = (1, 5, 10),
+    prefix: str = "",
 ) -> Dict[str, float]:
     """Embed every (image, caption) batch and compute retrieval metrics
-    over the concatenated set."""
+    over the concatenated set. ``prefix`` namespaces the metric tags
+    (e.g. "seen_" for held-out pairs of seen classes vs "unseen_" for
+    held-out classes)."""
     imgs, txts = [], []
     for batch in batches:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         img, txt, _ = clip_eval_embeddings(state, batch)
         imgs.append(np.asarray(img))
         txts.append(np.asarray(txt))
-    return retrieval_metrics(
+    out = retrieval_metrics(
         jnp.asarray(np.concatenate(imgs)), jnp.asarray(np.concatenate(txts)), ks
     )
+    if prefix:
+        out = {
+            k.replace("retrieval/", f"retrieval/{prefix}"): v
+            for k, v in out.items()
+        }
+    return out

@@ -35,6 +35,18 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _dot(a, b, dims):
+    """fp32-accumulating matmul that keeps bf16 operands on the MXU fast
+    path. The ambient jax_default_matmul_precision (tests set "highest")
+    would force fp32 contract precision onto bf16 operands, which Mosaic
+    cannot lower ("Bad lhs type") — pin DEFAULT for sub-fp32 dtypes."""
+    prec = None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -46,7 +58,10 @@ def _fwd_kernel(
 ):
     qi = pl.program_id(2)
     q_start = qi * block_q
-    q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
+    # Matmul operands stay in the INPUT dtype: bf16 x bf16 -> fp32 is the
+    # MXU fast path (fp32 operands run multi-pass at a fraction of the
+    # rate); softmax statistics and the accumulator remain fp32.
+    q = q_ref[0, 0]  # (block_q, D)
     seq_k = k_ref.shape[2]
     n_kblocks = seq_k // block_k
     if kv_len is not None:
@@ -65,11 +80,9 @@ def _fwd_kernel(
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k)
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = _dot(q, k, ((1,), (1,))) * scale  # (block_q, block_k) fp32
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
@@ -88,9 +101,7 @@ def _fwd_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        acc = acc * alpha + _dot(p.astype(v.dtype), v, ((1,), (0,)))
         return m_new, l_new, acc
 
     d = q.shape[-1]
@@ -155,8 +166,8 @@ def _bwd_dq_kernel(
 ):
     qi = pl.program_id(2)
     q_start = qi * block_q
-    q = q_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]  # input dtype: keep MXU on the bf16 fast path
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0]  # (block_q, 1)
     delta = delta_ref[0, 0]
     seq_k = k_ref.shape[2]
@@ -176,11 +187,9 @@ def _bwd_dq_kernel(
     q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     def body(j, dq):
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = _dot(q, k, ((1,), (1,))) * scale
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
@@ -193,13 +202,9 @@ def _bwd_dq_kernel(
         if kv_len is not None:
             mask = mask & (k_pos < kv_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        dp = _dot(do, v, ((1,), (1,)))
         ds = p * (dp - delta) * scale
-        dq = dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        dq = dq + _dot(ds.astype(k.dtype), k, ((1,), (0,)))
         return dq
 
     d = q.shape[-1]
@@ -213,8 +218,8 @@ def _bwd_dkv_kernel(
 ):
     ki = pl.program_id(2)
     k_start = ki * block_k
-    k = k_ref[0, 0].astype(jnp.float32)  # (block_k, D)
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]  # (block_k, D), input dtype (MXU bf16 fast path)
+    v = v_ref[0, 0]
     seq_q = q_ref.shape[2]
     n_qblocks = seq_q // block_q
 
@@ -233,13 +238,11 @@ def _bwd_dkv_kernel(
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]  # (block_q, 1)
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k)
+        s = _dot(q, k, ((1,), (1,))) * scale  # (block_q, block_k)
         q_pos = i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
         )
@@ -252,16 +255,10 @@ def _bwd_dkv_kernel(
         if kv_len is not None:
             mask = mask & (k_pos < kv_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (block_q, block_k)
-        dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        dv = dv + _dot(p.astype(do.dtype), do, ((0,), (0,)))
+        dp = _dot(do, v, ((1,), (1,)))
         ds = p * (dp - delta) * scale
-        dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        dk = dk + _dot(ds.astype(q.dtype), q, ((0,), (0,)))
         return dk, dv
 
     d = k.shape[-1]

@@ -43,6 +43,18 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _dot(a, b, dims):
+    """fp32-accumulating matmul; pins DEFAULT precision for bf16 operands
+    so the ambient jax_default_matmul_precision="highest" cannot force an
+    un-lowerable fp32 contract onto the MXU (Mosaic "Bad lhs type")."""
+    prec = None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+
+
+
 def small_kv_attention_ref(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -77,13 +89,7 @@ def _scores(q, k, pos_row, qi, block_q, k_real, scale):
     """
     bq = q.shape[0]
     kp = k.shape[0]
-    s = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
-    )
+    s = _dot(q, k, ((1,), (1,))) * scale
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 0)
     mask = q_pos >= pos_row
     s = jnp.where(mask, s, NEG_BIG)
@@ -100,10 +106,9 @@ def _fwd_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_q, k_real):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     w = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
-        w.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    o_ref[0] = _dot(w.astype(v_ref.dtype), v_ref[0], ((1,), (0,))).astype(
+        o_ref.dtype
+    )
 
 
 def _bwd_kernel(
@@ -118,27 +123,18 @@ def _bwd_kernel(
     p = jnp.exp(s - m)
     w = p / jnp.sum(p, axis=-1, keepdims=True)  # (bq, K) fp32
 
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]  # input dtype: both matmul operands stay native
     # dv: w^T @ do, accumulated over q blocks
-    dv_blk = jax.lax.dot_general(
-        w, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dv_blk = _dot(w.astype(do.dtype), do, ((0,), (0,)))
     # dw = do @ v^T ; ds = softmax backward, zeroed where the mask zeroed
     # the forward dependence on s (jnp.where has zero gradient there).
-    dw = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dw = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
     ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
     ds = jnp.where(mask, ds, 0.0) * scale
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dq_ref.dtype)
-    dk_blk = jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    dq_ref[0] = _dot(ds.astype(k.dtype), k, ((1,), (0,))).astype(
+        dq_ref.dtype
     )
+    dk_blk = _dot(ds.astype(q.dtype), q, ((0,), (0,)))
 
     @pl.when(qi == 0)
     def _():

@@ -154,17 +154,25 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             seed=args.seed,
         )).batches()
         if args.eval_interval > 0:
-            eval_batches = list(AlignedDeviceRenderer(
-                AlignedSyntheticVLDataset(
+            def _eval_set(lo, hi, sample_seed):
+                # SAME world seed as training; only sampling/noise differ.
+                return list(AlignedDeviceRenderer(AlignedSyntheticVLDataset(
                     args.batch_size, args.eval_batches,
                     image_size=cfg.image_size, text_len=args.text_len,
                     vocab_size=cfg.vocab_size,
                     num_classes=args.aligned_classes,
-                    class_range=(split, args.aligned_classes),
-                    seed=args.seed + 1,
-                    distinct=True,
-                )
-            ).batches())
+                    class_range=(lo, hi), seed=args.seed,
+                    sample_seed=sample_seed, distinct=True,
+                )).batches())
+
+            # Two held-out evals: "seen" = NEW noisy renders of training
+            # classes (the standard held-out-pairs retrieval eval);
+            # "unseen" = disjoint classes (compositional generalization).
+            eval_batches = {
+                "seen_": _eval_set(0, split, args.seed + 2),
+                "unseen_": _eval_set(split, args.aligned_classes,
+                                     args.seed + 1),
+            }
     elif args.use_dummy_data:
         dataset = SyntheticVLDataset(
             args.batch_size, args.num_steps, image_size=cfg.image_size,
@@ -270,13 +278,23 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                 and step % args.eval_interval == 0
                 and eval_batches
             ):
-                rmetrics = evaluate_retrieval(state, eval_batches)
-                writer.scalars(rmetrics, step)
-                print(
-                    f"[retrieval @ {step}] "
-                    f"i2t R@1 {rmetrics['retrieval/i2t_recall@1']:.3f} "
-                    f"t2i R@1 {rmetrics['retrieval/t2i_recall@1']:.3f}"
+                sets = (
+                    eval_batches
+                    if isinstance(eval_batches, dict)
+                    else {"": eval_batches}
                 )
+                for prefix, batches_ in sets.items():
+                    rmetrics = evaluate_retrieval(
+                        state, batches_, prefix=prefix
+                    )
+                    writer.scalars(rmetrics, step)
+                    print(
+                        f"[retrieval/{prefix or 'eval'} @ {step}] "
+                        f"i2t R@1 "
+                        f"{rmetrics[f'retrieval/{prefix}i2t_recall@1']:.3f} "
+                        f"t2i R@1 "
+                        f"{rmetrics[f'retrieval/{prefix}t2i_recall@1']:.3f}"
+                    )
 
             if manager and step % max(args.slow_loop_interval, 100) == 0:
                 manager.save(step, state)

@@ -107,6 +107,25 @@ class TestAlignedVL:
                 imgs[key] = img
 
 
+def test_world_seed_vs_sample_seed():
+    """Same ``seed`` => same class tables (one world); ``sample_seed``
+    changes only sampling/noise. Regression: an eval set built with a
+    different world seed scores against different classes entirely."""
+    a = AlignedSyntheticVLDataset(4, 1, image_size=32, text_len=16,
+                                  vocab_size=512, num_classes=32, seed=5)
+    b = AlignedSyntheticVLDataset(4, 1, image_size=32, text_len=16,
+                                  vocab_size=512, num_classes=32, seed=5,
+                                  sample_seed=99)
+    c = AlignedSyntheticVLDataset(4, 1, image_size=32, text_len=16,
+                                  vocab_size=512, num_classes=32, seed=6)
+    np.testing.assert_array_equal(a.captions, b.captions)
+    np.testing.assert_array_equal(a.latents, b.latents)
+    assert not np.array_equal(a.captions, c.captions)
+    # different sample_seed -> (almost surely) different class draw
+    rng_a, rng_b = (np.random.RandomState(d.sample_seed + 7) for d in (a, b))
+    assert not np.array_equal(a.class_schedule(rng_a), b.class_schedule(rng_b))
+
+
 def test_hold_out_eval_split():
     items = [{"i": i} for i in range(10)]
     held, rest = hold_out_eval(iter(items), 3)
