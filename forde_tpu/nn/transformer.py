@@ -4,11 +4,13 @@ Block spec per reference README.md:39-45:
     self-attention -> add/norm -> StatefulLayer -> add/norm
 (pre-norm variant, matching the decoder path's convention).
 
-Bidirectional attention runs on the Pallas flash kernel when the key set is
-uniform (vision tower: every position valid); with a per-sample key padding
-mask (text tower, BERT-style input_ids/attention_mask) it uses the fp32
-masked reference path — text sequences are <= 64 tokens
-(reference download_to_drive.py:52-64), so O(S^2) there is noise.
+Both towers run the fused-qkv Pallas flash kernel (ops/flash_attention.
+flash_mha): q/k/v are read straight out of the qkv projection output and
+the context is written back in (B, S, H*D) layout — no head split/merge
+transposes (those copies alone were ~7.5 GB/step at ViT-B/128, PERF.md).
+The text tower's BERT-style padding (right-padded input_ids/attention_mask,
+reference download_to_drive.py:52-64) maps to the kernel's per-sample
+``kv_lens`` masking.
 """
 
 from __future__ import annotations
@@ -18,14 +20,12 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from forde_tpu.nn.attention import _merge_heads, _split_heads
 from forde_tpu.nn.stateful import StatefulLayer
-from forde_tpu.ops import attention_ref
-from forde_tpu.ops.flash_attention import flash_attention
+from forde_tpu.ops.flash_attention import flash_mha
 
 
 class EncoderSelfAttention(nn.Module):
-    """Bidirectional multi-head self-attention."""
+    """Bidirectional multi-head self-attention (zero-transpose flash path)."""
 
     num_heads: int
     head_dim: int
@@ -40,18 +40,15 @@ class EncoderSelfAttention(nn.Module):
         qkv = nn.Dense(
             3 * self.num_heads * self.head_dim, name="qkv_proj", dtype=self.dtype
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = _split_heads(q, self.num_heads, self.head_dim)
-        k = _split_heads(k, self.num_heads, self.head_dim)
-        v = _split_heads(v, self.num_heads, self.head_dim)
-
-        if key_padding_mask is None:
-            out = flash_attention(q, k, v, causal=False, impl=self.impl)
-        else:
-            mask = key_padding_mask[:, None, None, :].astype(jnp.bool_)
-            out = attention_ref.mha_reference(q, k, v, mask=mask)
-
-        out = _merge_heads(out)
+        kv_lens = None
+        if key_padding_mask is not None:
+            # Right-padded contract: valid tokens form a prefix, so the
+            # mask reduces to a per-sample length.
+            kv_lens = jnp.sum(key_padding_mask.astype(jnp.int32), axis=-1)
+        out = flash_mha(
+            qkv, self.num_heads, self.head_dim,
+            causal=False, kv_lens=kv_lens, impl=self.impl,
+        )
         return nn.Dense(d_model, name="out_proj", dtype=self.dtype)(out)
 
 

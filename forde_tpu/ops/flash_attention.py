@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from jax.experimental.pallas import tpu as pltpu
+
 from forde_tpu.ops import attention_ref
 
 DEFAULT_BLOCK_Q = 128
@@ -421,3 +423,325 @@ def flash_attention(
         qp, kp, vp, scale, window_size, causal, block_q, block_k, interpret, kv_len
     )
     return o[:, :, :s, :d]
+
+
+# ---------------------------------------------------------------------------
+# Fused-qkv flash attention (zero-transpose encoder path)
+# ---------------------------------------------------------------------------
+#
+# The 4D API above requires (B, H, S, D) operands, which the model produces
+# by split+transpose from the qkv projection output — at ViT-B/128 those
+# layout copies alone were ~7.5 GB/step of HBM traffic (benchmarks/
+# byte_audit.py). This API reads q/k/v DIRECTLY out of the (B, S, 3*H*D)
+# Dense output and writes (B, S, H*D) ready for the output projection:
+# no transpose, split, or (in the backward) concat copy ever materializes.
+#
+# Kernel shape: encoder sequences are short (ViT 200 tokens, text 64), so
+# one grid program handles ONE BATCH ELEMENT with the full (S, 3*H*D) qkv
+# block in VMEM and a static Python loop over heads — per-head q/k/v are
+# 64-lane-aligned static slices of the block (Mosaic cannot express
+# sub-128-lane BlockSpecs of a wide array, but in-VMEM slices are free).
+# With the whole row in VMEM the softmax is a straight (not online) pass;
+# lse is still emitted for the backward, which recomputes probabilities
+# and writes dq/dk/dv into a single (S, 3*H*D) output. Sequences longer
+# than MAX_FUSED_SEQ fall back to the 4D online-softmax kernels.
+#
+# Optional ``kv_lens`` (B,) masks keys at positions >= kv_lens[b] — the
+# right-padded BERT text-tower contract (reference
+# src/data/download_to_drive.py:52-64) — so the text tower runs on the
+# flash kernel instead of the fp32 masked-reference path.
+
+MAX_FUSED_SEQ = 512
+
+
+def _mha_mask_2d(s, causal, window, kv_len_scalar, kv_bound):
+    """(S, S) mask; None if no masking applies."""
+    conds = []
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, s, 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, s, 1)
+    if causal:
+        conds.append(q_pos >= k_pos)
+    if window is not None:
+        conds.append(q_pos - k_pos < window)
+    if kv_len_scalar is not None:
+        conds.append(k_pos < kv_len_scalar)
+    if kv_bound is not None:
+        conds.append(k_pos < kv_bound)
+    if not conds:
+        return None
+    mask = conds[0]
+    for c in conds[1:]:
+        mask = mask & c
+    return mask
+
+
+def _mha_fwd_kernel(
+    *refs, scale, num_heads, head_dim, window, causal, has_lens, kv_bound
+):
+    if has_lens:
+        qkv_ref, len_ref, o_ref, lse_ref = refs
+        kv_len_scalar = len_ref[pl.program_id(0), 0].astype(jnp.int32)
+    else:
+        qkv_ref, o_ref, lse_ref = refs
+        kv_len_scalar = None
+    x = qkv_ref[0]  # (S, 3*H*D), input dtype (bf16 MXU fast path)
+    seq = x.shape[0]
+    h, d = num_heads, head_dim
+    mask = _mha_mask_2d((seq, seq), causal, window, kv_len_scalar, kv_bound)
+
+    for hi in range(h):
+        q = x[:, hi * d:(hi + 1) * d]
+        k = x[:, (h + hi) * d:(h + hi + 1) * d]
+        v = x[:, (2 * h + hi) * d:(2 * h + hi + 1) * d]
+        s = _dot(q, k, ((1,), (1,))) * scale  # (S, S) fp32
+        if mask is not None:
+            s = jnp.where(mask, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o = _dot((p / l_safe).astype(v.dtype), v, ((1,), (0,)))
+        o_ref[0, :, hi * d:(hi + 1) * d] = o.astype(o_ref.dtype)
+        lse_ref[0, hi] = m + jnp.log(l_safe)
+
+
+def _mha_bwd_kernel(
+    *refs, scale, num_heads, head_dim, window, causal, has_lens, kv_bound
+):
+    if has_lens:
+        qkv_ref, do_ref, lse_ref, len_ref, dqkv_ref = refs
+        kv_len_scalar = len_ref[pl.program_id(0), 0].astype(jnp.int32)
+    else:
+        qkv_ref, do_ref, lse_ref, dqkv_ref = refs
+        kv_len_scalar = None
+    x = qkv_ref[0]
+    seq = x.shape[0]
+    h, d = num_heads, head_dim
+    mask = _mha_mask_2d((seq, seq), causal, window, kv_len_scalar, kv_bound)
+
+    for hi in range(h):
+        q = x[:, hi * d:(hi + 1) * d]
+        k = x[:, (h + hi) * d:(h + hi + 1) * d]
+        v = x[:, (2 * h + hi) * d:(2 * h + hi + 1) * d]
+        do = do_ref[0, :, hi * d:(hi + 1) * d]
+        lse = lse_ref[0, hi]  # (S, 1)
+        s = _dot(q, k, ((1,), (1,))) * scale
+        p = jnp.exp(s - lse)  # normalized probabilities
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        pb = p.astype(do.dtype)
+        dv = _dot(pb, do, ((0,), (0,)))
+        dp = _dot(do, v, ((1,), (1,)))  # (S, S) fp32
+        delta = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = _dot(ds, k, ((1,), (0,)))
+        dk = _dot(ds, q, ((0,), (0,)))
+        dqkv_ref[0, :, hi * d:(hi + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, (h + hi) * d:(h + hi + 1) * d] = dk.astype(
+            dqkv_ref.dtype
+        )
+        dqkv_ref[0, :, (2 * h + hi) * d:(2 * h + hi + 1) * d] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _mha_len_spec(b):
+    # The whole (B, 1) lens vector sits in SMEM for every program (a
+    # sub-array block would violate Mosaic's tiling rules); the kernel
+    # picks its row with program_id.
+    return pl.BlockSpec((b, 1), lambda bi: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _mha_fwd_pallas(
+    qkv, lens, num_heads, head_dim, scale, window, causal, interpret, kv_bound
+):
+    b, s, _ = qkv.shape
+    has_lens = lens is not None
+    hd = num_heads * head_dim
+    full = lambda width: pl.BlockSpec((1, s, width), lambda bi: (bi, 0, 0))
+    in_specs = [full(3 * hd)]
+    args = [qkv]
+    if has_lens:
+        in_specs.append(_mha_len_spec(b))
+        args.append(lens)
+    kernel = functools.partial(
+        _mha_fwd_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim,
+        window=window, causal=causal, has_lens=has_lens, kv_bound=kv_bound,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=[
+            full(hd),
+            pl.BlockSpec((1, num_heads, s, 1), lambda bi: (bi, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, s, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return o, lse
+
+
+def _mha_bwd_pallas(
+    qkv, lens, lse, do, num_heads, head_dim, scale, window, causal,
+    interpret, kv_bound,
+):
+    b, s, _ = qkv.shape
+    has_lens = lens is not None
+    hd = num_heads * head_dim
+    full = lambda width: pl.BlockSpec((1, s, width), lambda bi: (bi, 0, 0))
+    in_specs = [
+        full(3 * hd),
+        full(hd),
+        pl.BlockSpec((1, num_heads, s, 1), lambda bi: (bi, 0, 0, 0)),
+    ]
+    args = [qkv, do, lse]
+    if has_lens:
+        in_specs.append(_mha_len_spec(b))
+        args.append(lens)
+    kernel = functools.partial(
+        _mha_bwd_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim,
+        window=window, causal=causal, has_lens=has_lens, kv_bound=kv_bound,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=full(3 * hd),
+        out_shape=jax.ShapeDtypeStruct((b, s, 3 * hd), qkv.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _flash_mha_fused(
+    qkv, lens, num_heads, head_dim, scale, window, causal, interpret, kv_bound
+):
+    o, _ = _mha_fwd_pallas(
+        qkv, lens, num_heads, head_dim, scale, window, causal, interpret,
+        kv_bound,
+    )
+    return o
+
+
+def _mha_fwd_rule(
+    qkv, lens, num_heads, head_dim, scale, window, causal, interpret, kv_bound
+):
+    o, lse = _mha_fwd_pallas(
+        qkv, lens, num_heads, head_dim, scale, window, causal, interpret,
+        kv_bound,
+    )
+    return o, (qkv, lens, lse)
+
+
+def _mha_bwd_rule(
+    num_heads, head_dim, scale, window, causal, interpret, kv_bound, res, do
+):
+    qkv, lens, lse = res
+    dqkv = _mha_bwd_pallas(
+        qkv, lens, lse, do, num_heads, head_dim, scale, window, causal,
+        interpret, kv_bound,
+    )
+    dlens = None if lens is None else jnp.zeros_like(lens)
+    return dqkv, dlens
+
+
+_flash_mha_fused.defvjp(_mha_fwd_rule, _mha_bwd_rule)
+
+
+def _mha_reference_path(qkv, num_heads, head_dim, kv_lens, causal, window, scale):
+    b, s, _ = qkv.shape
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    def split(x):
+        return x.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    mask = None
+    if kv_lens is not None:
+        mask = (
+            jnp.arange(s)[None, :] < kv_lens.astype(jnp.int32)[:, None]
+        )[:, None, None, :]
+    if causal and window is not None:
+        o = attention_ref.sliding_window_attention_ref(q, k, v, window, scale=scale)
+    elif causal:
+        o = attention_ref.causal_attention_ref(q, k, v, scale=scale)
+    else:
+        o = attention_ref.mha_reference(q, k, v, mask=mask, scale=scale)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, num_heads * head_dim)
+
+
+def flash_mha(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    head_dim: int,
+    *,
+    causal: bool = False,
+    window_size: Optional[int] = None,
+    kv_lens: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Flash attention over a fused (B, S, 3*H*D) qkv projection output,
+    returning (B, S, H*D) — zero layout copies on either side.
+
+    ``kv_lens``: optional (B,) valid-key counts for right-padded batches
+    (BERT contract, reference download_to_drive.py:52-64); keys at
+    positions >= kv_lens[b] are masked for every query. Note padded
+    *query* rows still produce (masked-key) outputs, exactly like the
+    masked reference path — downstream pooling reads position 0 only.
+
+    ``impl``: "auto" (Pallas on TPU, jnp reference elsewhere), "pallas",
+    "interpret", "reference".
+    """
+    b, s, three_hd = qkv.shape
+    assert three_hd == 3 * num_heads * head_dim, (three_hd, num_heads, head_dim)
+    if scale is None:
+        scale = 1.0 / float(head_dim) ** 0.5
+    scale = float(scale)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if impl == "reference":
+        return _mha_reference_path(
+            qkv, num_heads, head_dim, kv_lens, causal, window_size, scale
+        )
+    if head_dim % 64 != 0 or s > MAX_FUSED_SEQ:
+        # Per-head in-VMEM slices must be 64-lane-aligned, and the whole
+        # (S, 3*H*D) block must fit VMEM; otherwise run the 4D online-
+        # softmax kernels (which pad D / stream K blocks).
+        assert kv_lens is None, (
+            "kv_lens needs the fused kernel (64-aligned head_dim, "
+            f"S <= {MAX_FUSED_SEQ}); got head_dim={head_dim}, S={s}"
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        def _to4(x):
+            return x.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
+        o = flash_attention(
+            _to4(q), _to4(k), _to4(v), causal=causal,
+            window_size=window_size, scale=scale, impl=impl,
+            block_q=block_q, block_k=block_k,
+        )
+        return o.transpose(0, 2, 1, 3).reshape(b, s, num_heads * head_dim)
+    interpret = impl == "interpret"
+
+    s_pad = _ceil_to(s, 8)
+    kv_bound = None
+    if s_pad != s:
+        qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
+        if not causal and kv_lens is None:
+            kv_bound = s  # static mask for the padded tail
+    lens = None
+    if kv_lens is not None:
+        # f32 carries exact ints < 2^24 and keeps custom_vjp cotangents
+        # well-defined (int operands can't take zeros cotangents).
+        lens = jnp.minimum(kv_lens, s).astype(jnp.float32).reshape(b, 1)
+
+    o = _flash_mha_fused(
+        qkv, lens, num_heads, head_dim, scale, window_size, causal,
+        interpret, kv_bound,
+    )
+    return o[:, :s, :]
