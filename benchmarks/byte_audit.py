@@ -88,6 +88,9 @@ def main() -> None:
               f"args {mem.argument_size_in_bytes / 1e9:.2f} GB ==")
 
     hlo = compiled.as_text()
+    if os.environ.get("AUDIT_SAVE_HLO"):
+        with open(os.environ["AUDIT_SAVE_HLO"], "w") as f:
+            f.write(hlo)
 
     # Parse the ENTRY computation's top-level instructions.
     entry = hlo.split("ENTRY ")[1]

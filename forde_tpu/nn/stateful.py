@@ -20,10 +20,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from forde_tpu.brain.sensing import hoyer_sparsity
+from forde_tpu.ops.fused_stateful import fused_stateful_mlp
 from forde_tpu.ops.stateful import grad_stat_tap, stateful_multiplex
 
 GRAD_TAP_NAME = "z_tap"
+
+
+class _DenseParams(nn.Module):
+    """Owns a Dense-shaped (kernel, bias) pair without computing the
+    matmul — the fused StatefulLayer kernel consumes the params directly,
+    and the param tree stays identical to ``nn.Dense(name="w_in")``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, din: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (din, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
 
 
 def activation_stats(z: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +89,65 @@ class StatefulLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        impl = self.impl
+        if impl == "auto":
+            impl = (
+                "fused" if jax.default_backend() == "tpu" else "reference"
+            )
+        if impl.startswith("fused"):
+            return self._fused_call(x, impl)
+        return self._unfused_call(x, impl)
+
+    def _fused_call(self, x: jnp.ndarray, impl: str) -> jnp.ndarray:
+        """One Pallas pass for matmul + multiplex + sensing
+        (ops/fused_stateful.py); z never reaches HBM."""
+        sub = {"fused": "pallas", "fused_interpret": "interpret",
+               "fused_reference": "reference"}[impl]
+        kernel, bias = _DenseParams(self.hidden_dim, name="w_in")(x.shape[-1])
+        assignments = self.variable(
+            "brain",
+            "neuron_assignments",
+            lambda: jnp.zeros((self.hidden_dim,), jnp.int32),
+        )
+        slot_value = jnp.zeros((self.hidden_dim, 2), jnp.float32)
+        if self.sense and (
+            self.is_initializing()
+            or self.has_variable("perturbations", GRAD_TAP_NAME)
+            or self.is_mutable_collection("perturbations")
+        ):
+            slot = self.variable(
+                "perturbations",
+                GRAD_TAP_NAME,
+                lambda: jnp.zeros((self.hidden_dim, 2), jnp.float32),
+            )
+            slot_value = slot.value
+
+        y, act = fused_stateful_mlp(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            bias.astype(self.dtype),
+            assignments.value,
+            slot_value,
+            self.specialist_gate,
+            impl=sub,
+        )
+        if self.sense:
+            act_stats = self.variable(
+                "stats_buffer",
+                "act_stats",
+                lambda: jnp.zeros((self.hidden_dim, 3), jnp.float32),
+            )
+            step_count = self.variable(
+                "stats_buffer", "step_count", lambda: jnp.array(0, jnp.int32)
+            )
+            if not self.is_initializing():
+                act_stats.value = act_stats.value + act
+                step_count.value = step_count.value + 1
+        return nn.Dense(self.d_model, name="w_out", dtype=self.dtype)(
+            y.astype(self.dtype)
+        )
+
+    def _unfused_call(self, x: jnp.ndarray, impl: str) -> jnp.ndarray:
         z = nn.Dense(self.hidden_dim, name="w_in", dtype=self.dtype)(x)
 
         assignments = self.variable(
