@@ -7,7 +7,8 @@ dual-encoder implementation was removed in its LLM pivot, SURVEY.md §0).
      variable collection (the "brain map" the slow loop rewrites).
   2. Multiplexes each neuron through relu / tanh / straight-through
      binary_step by assignment, plus a gated residual (specialist gate
-     0.1) — fused into one Pallas VMEM pass (ops/stateful.py).
+     0.1) — XLA fuses this into the surrounding matmuls (ops/stateful.py;
+     hand-written Pallas fusions measured slower, see PERF.md).
   3. Silently logs activation statistics (Hoyer gini, GDP, variance) into
      the ``stats_buffer`` collection, and exposes a gradient tap
      (``nn.perturb``) so the train step can harvest dL/dz for the
@@ -20,29 +21,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-import jax
-
 from forde_tpu.brain.sensing import hoyer_sparsity
-from forde_tpu.ops.fused_stateful import fused_stateful_mlp
 from forde_tpu.ops.stateful import grad_stat_tap, stateful_multiplex
 
 GRAD_TAP_NAME = "z_tap"
-
-
-class _DenseParams(nn.Module):
-    """Owns a Dense-shaped (kernel, bias) pair without computing the
-    matmul — the fused StatefulLayer kernel consumes the params directly,
-    and the param tree stays identical to ``nn.Dense(name="w_in")``."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, din: int):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (din, self.features)
-        )
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        return kernel, bias
 
 
 def activation_stats(z: jnp.ndarray) -> jnp.ndarray:
@@ -89,65 +71,14 @@ class StatefulLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        impl = self.impl
-        if impl == "auto":
-            impl = (
-                "fused" if jax.default_backend() == "tpu" else "reference"
-            )
-        if impl.startswith("fused"):
-            return self._fused_call(x, impl)
-        return self._unfused_call(x, impl)
-
-    def _fused_call(self, x: jnp.ndarray, impl: str) -> jnp.ndarray:
-        """One Pallas pass for matmul + multiplex + sensing
-        (ops/fused_stateful.py); z never reaches HBM."""
-        sub = {"fused": "pallas", "fused_interpret": "interpret",
-               "fused_reference": "reference"}[impl]
-        kernel, bias = _DenseParams(self.hidden_dim, name="w_in")(x.shape[-1])
-        assignments = self.variable(
-            "brain",
-            "neuron_assignments",
-            lambda: jnp.zeros((self.hidden_dim,), jnp.int32),
-        )
-        slot_value = jnp.zeros((self.hidden_dim, 2), jnp.float32)
-        if self.sense and (
-            self.is_initializing()
-            or self.has_variable("perturbations", GRAD_TAP_NAME)
-            or self.is_mutable_collection("perturbations")
-        ):
-            slot = self.variable(
-                "perturbations",
-                GRAD_TAP_NAME,
-                lambda: jnp.zeros((self.hidden_dim, 2), jnp.float32),
-            )
-            slot_value = slot.value
-
-        y, act = fused_stateful_mlp(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            bias.astype(self.dtype),
-            assignments.value,
-            slot_value,
-            self.specialist_gate,
-            impl=sub,
-        )
-        if self.sense:
-            act_stats = self.variable(
-                "stats_buffer",
-                "act_stats",
-                lambda: jnp.zeros((self.hidden_dim, 3), jnp.float32),
-            )
-            step_count = self.variable(
-                "stats_buffer", "step_count", lambda: jnp.array(0, jnp.int32)
-            )
-            if not self.is_initializing():
-                act_stats.value = act_stats.value + act
-                step_count.value = step_count.value + 1
-        return nn.Dense(self.d_model, name="w_out", dtype=self.dtype)(
-            y.astype(self.dtype)
-        )
-
-    def _unfused_call(self, x: jnp.ndarray, impl: str) -> jnp.ndarray:
+        # NOTE: this stays the XLA-fused jnp composition ON PURPOSE. Two
+        # Pallas fusions were built and measured slower on v5e at ViT-B:
+        # the standalone elementwise multiplex (fusion barrier, -35%) and
+        # a matmul-anchored full fusion (w_in + multiplex + sensing in one
+        # VMEM pass, git ca6af0c): 7.82 vs 5.03 ms/step, because the
+        # flash-style backward z-recompute (+125 GFLOP) costs more than
+        # the ~330 MB of z traffic it saves. XLA's matmul+epilogue fusion
+        # is optimal here; see PERF.md "StatefulLayer fusion".
         z = nn.Dense(self.hidden_dim, name="w_in", dtype=self.dtype)(x)
 
         assignments = self.variable(

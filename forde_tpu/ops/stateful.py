@@ -1,5 +1,5 @@
-"""Fused StatefulLayer op: k-way activation multiplex + straight-through
-binary step + gated residual in a single VMEM pass.
+"""StatefulLayer multiplex op: k-way activation multiplex +
+straight-through binary step + gated residual.
 
 This is the actuator at the heart of the FORDE dual encoder
 (reference README.md:47-56 — no code exists in the reference; the spec is):
@@ -9,16 +9,26 @@ This is the actuator at the heart of the FORDE dual encoder
            binary_step(z)  where assignment == 2  (Specialist)
     out  = F(z) + gate * z,   gate = 0.1 for specialists else 1.0
 
-The jnp reference path composes three jnp.where passes; the Pallas kernel
-does one read + one write of the activation tensor (the op is bandwidth-
-bound, so fusing the multiplex, step, and residual halves HBM traffic vs
-an unfused chain). The straight-through gradient for the specialist branch
-is defined once in the shared custom_vjp:
+The straight-through gradient for the specialist branch is defined in the
+custom_vjp:
 
     d out / d z = relu'(z)          (gen)     = 1[z > 0]
                   1 - tanh(z)^2     (pool)
                   1                 (spec, straight-through)
                 + gate
+
+Implementation note (v5e, ViT-B, bf16 — see PERF.md "StatefulLayer
+fusion"): this op deliberately stays a jnp composition that XLA fuses
+into the surrounding matmuls. Two Pallas variants were built, verified,
+and measured SLOWER: (a) a standalone elementwise multiplex kernel
+(-35%/step — a pallas_call is an XLA fusion barrier, so it forces the
+activation through HBM on both sides); (b) a matmul-anchored full fusion
+of w_in + multiplex + sensing with a flash-style z-recompute backward
+(git ca6af0c): 7.82 vs 5.03 ms/step, because the recompute (+125 GFLOP)
+costs more than the ~330 MB of z traffic it saves. At StatefulLayer's
+arithmetic intensity (Din=768, F=3072) the roofline agrees: the saved
+traffic (~0.4 ms) never exceeds the extra matmul (~0.6 ms at peak), so
+XLA fusion is optimal and the kernels were removed.
 """
 
 from __future__ import annotations
@@ -27,7 +37,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 
 GENERALIST, POOLING, SPECIALIST = 0, 1, 2
 
@@ -77,88 +86,32 @@ def _multiplex_bwd_math(z, assignments, specialist_gate, g):
     return (g.astype(dt) * (dfdz + gate)).astype(z.dtype)
 
 
-def _fwd_kernel(z_ref, a_ref, o_ref, *, specialist_gate):
-    o_ref[:] = _multiplex_fwd_math(
-        z_ref[:], a_ref[:], specialist_gate
-    ).astype(o_ref.dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _stateful_multiplex(z, assignments, specialist_gate):
+    return _forward(z, assignments, specialist_gate)
 
 
-def _bwd_kernel(z_ref, a_ref, g_ref, dz_ref, *, specialist_gate):
-    dz_ref[:] = _multiplex_bwd_math(
-        z_ref[:], a_ref[:], specialist_gate, g_ref[:]
-    )
-
-
-def _pallas_apply(kernel, out_dtype, z2d, a2d, *extra, interpret):
-    n, f = z2d.shape
-    # Size blocks to VMEM: fp32 intermediates x (inputs + grads + output) x
-    # double buffering must stay well under the ~16MB scoped limit.
-    rows_budget = max(8, (256 * 1024) // max(f, 1))
-    block_n = min(512, rows_budget // 8 * 8 or 8, max(n, 8))
-    # pad rows to a block multiple; padded rows are sliced off after.
-    n_pad = ((n + block_n - 1) // block_n) * block_n
-    if n_pad != n:
-        z2d = jnp.pad(z2d, ((0, n_pad - n), (0, 0)))
-        extra = tuple(jnp.pad(e, ((0, n_pad - n), (0, 0))) for e in extra)
-    grid = (n_pad // block_n,)
-    row_spec = pl.BlockSpec((block_n, f), lambda i: (i, 0))
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[row_spec, pl.BlockSpec((1, f), lambda i: (0, 0))]
-        + [row_spec] * len(extra),
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, f), out_dtype),
-        interpret=interpret,
-    )(z2d, a2d, *extra)
-    return out[:n]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _stateful_multiplex(z, assignments, specialist_gate, impl):
-    return _forward(z, assignments, specialist_gate, impl)
-
-
-def _forward(z, assignments, specialist_gate, impl):
+def _forward(z, assignments, specialist_gate):
     shape = z.shape
     f = shape[-1]
     a2d = assignments.reshape(1, f)
-    if impl == "reference":
-        return _multiplex_fwd_math(
-            z.reshape(-1, f), a2d, specialist_gate
-        ).astype(z.dtype).reshape(shape)
-    out = _pallas_apply(
-        functools.partial(_fwd_kernel, specialist_gate=specialist_gate),
-        z.dtype,
-        z.reshape(-1, f),
-        a2d,
-        interpret=(impl == "interpret"),
-    )
-    return out.reshape(shape)
+    return _multiplex_fwd_math(
+        z.reshape(-1, f), a2d, specialist_gate
+    ).astype(z.dtype).reshape(shape)
 
 
-def _stateful_fwd(z, assignments, specialist_gate, impl):
-    return _forward(z, assignments, specialist_gate, impl), (z, assignments)
+def _stateful_fwd(z, assignments, specialist_gate):
+    return _forward(z, assignments, specialist_gate), (z, assignments)
 
 
-def _stateful_bwd(specialist_gate, impl, res, g):
+def _stateful_bwd(specialist_gate, res, g):
     z, assignments = res
     shape = z.shape
     f = shape[-1]
     a2d = assignments.reshape(1, f)
-    if impl == "reference":
-        dz = _multiplex_bwd_math(
-            z.reshape(-1, f), a2d, specialist_gate, g.reshape(-1, f)
-        )
-    else:
-        dz = _pallas_apply(
-            functools.partial(_bwd_kernel, specialist_gate=specialist_gate),
-            z.dtype,
-            z.reshape(-1, f),
-            a2d,
-            g.reshape(-1, f),
-            interpret=(impl == "interpret"),
-        )
+    dz = _multiplex_bwd_math(
+        z.reshape(-1, f), a2d, specialist_gate, g.reshape(-1, f)
+    )
     return dz.reshape(shape), None
 
 
@@ -174,19 +127,14 @@ def stateful_multiplex(
     """Apply the FORDE neuron multiplex to (..., F) pre-activations.
 
     ``assignments``: int32 (F,) neuron types (0 gen / 1 pool / 2 spec).
-    ``impl``: "auto", "pallas", "interpret", "reference".
-
-    NOTE: "auto" selects the jnp path even on TPU. Measured on v5e at
-    ViT-B/16: the standalone Pallas kernel costs ~100ms/step (386 vs 288)
-    because a pallas_call is an XLA fusion barrier — the multiplex is
-    elementwise and XLA fuses it into the surrounding matmuls for free,
-    which beats a hand-written kernel that forces the activation through
-    HBM on both sides. The kernel remains available ("pallas") and is the
-    building block for a future fully-fused matmul+multiplex kernel.
+    ``impl`` is accepted for API stability but every value runs the same
+    XLA-fused jnp path — measured optimal on TPU; the two slower Pallas
+    variants were removed (module docstring has the numbers).
     """
-    if impl == "auto":
-        impl = "reference"
-    return _stateful_multiplex(z, assignments.astype(jnp.int32), float(specialist_gate), impl)
+    del impl
+    return _stateful_multiplex(
+        z, assignments.astype(jnp.int32), float(specialist_gate)
+    )
 
 
 # ---------------------------------------------------------------------------

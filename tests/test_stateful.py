@@ -1,5 +1,5 @@
-"""Fused StatefulLayer op + module tests: multiplex semantics, straight-
-through gradient, kernel-vs-reference equivalence, sensing accumulation."""
+"""StatefulLayer op + module tests: multiplex semantics, straight-through
+gradient vs the analytic derivative, sensing accumulation."""
 
 import jax
 import jax.numpy as jnp
@@ -47,21 +47,27 @@ def test_multiplex_semantics():
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
 
 
-def test_multiplex_kernel_matches_reference_fwd_bwd():
+def test_multiplex_gradient_matches_analytic():
+    """custom-VJP backward == the hand-derived derivative
+    dout/dz = branch'(z) + gate (straight-through for specialists)."""
     key = jax.random.PRNGKey(0)
     z = jax.random.normal(key, (4, 24, 96))
     a = jax.random.randint(jax.random.PRNGKey(1), (96,), 0, 3)
+    gate = 0.1
 
-    out_ref = stateful_multiplex(z, a, 0.1, impl="reference")
-    out_k = stateful_multiplex(z, a, 0.1, impl="interpret")
-    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref), atol=1e-6)
+    def loss(z):
+        return jnp.sum(stateful_multiplex(z, a, gate) ** 2)
 
-    def loss(z, impl):
-        return jnp.sum(stateful_multiplex(z, a, 0.1, impl=impl) ** 2)
-
-    g_ref = jax.grad(lambda z: loss(z, "reference"))(z)
-    g_k = jax.grad(lambda z: loss(z, "interpret"))(z)
-    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref), atol=1e-5)
+    g = jax.grad(loss)(z)
+    out = stateful_multiplex(z, a, gate)
+    dfdz = jnp.where(
+        a == 0,
+        (z > 0).astype(z.dtype),
+        jnp.where(a == 1, 1.0 - jnp.tanh(z) ** 2, 1.0),
+    )
+    gates = jnp.where(a == 2, gate, 1.0)
+    expected = 2.0 * out * (dfdz + gates)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expected), atol=1e-5)
 
 
 def test_stateful_layer_collections_and_sensing():
