@@ -46,11 +46,14 @@ def bench(impl, block_q=128, block_k=128, window=512, s=2048, iters=30,
 
 
 def main():
-    ref = bench("reference")
-    print(f"masked reference fwd+bwd: {ref:.2f} ms")
+    window = os.environ.get("SWEEP_WINDOW", "512")
+    window = None if window in ("none", "None", "") else int(window)
+    s = int(os.environ.get("SWEEP_S", "2048"))
+    ref = bench("reference", window=window, s=s)
+    print(f"masked reference fwd+bwd (window={window}, S={s}): {ref:.2f} ms")
     for bq in (128, 256, 512):
         for bk in (128, 256, 512):
-            ms = bench("pallas", bq, bk)
+            ms = bench("pallas", bq, bk, window=window, s=s)
             print(f"pallas bq={bq} bk={bk}: {ms:.2f} ms  ({ref / ms:.2f}x)")
 
 

@@ -161,11 +161,30 @@ class TextTransformer(nn.Module):
 
 class FORDEDualEncoder(nn.Module):
     """Two towers + projection heads into the shared embedding space +
-    learnable temperature (README.md:30-35)."""
+    learnable temperature (README.md:30-35).
+
+    Uses ``setup()`` (not ``@nn.compact``) so the single-tower entry
+    points ``encode_image`` / ``encode_text`` — the serving/retrieval
+    surface — share the exact same submodules and param tree as
+    ``__call__``."""
 
     config: DualEncoderConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.vision = VisionTransformer(config=cfg, tower=cfg.vision)
+        self.text = TextTransformer(config=cfg, tower=cfg.text)
+        self.image_projection = nn.Dense(
+            cfg.embed_dim, use_bias=False, dtype=cfg.dtypes.compute
+        )
+        self.text_projection = nn.Dense(
+            cfg.embed_dim, use_bias=False, dtype=cfg.dtypes.compute
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda _key: jnp.array(cfg.logit_scale_init, jnp.float32),
+        )
+
     def __call__(
         self,
         images: jnp.ndarray,
@@ -173,44 +192,17 @@ class FORDEDualEncoder(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        cfg = self.config
-        img_feat = VisionTransformer(config=cfg, tower=cfg.vision, name="vision")(
-            images, deterministic
-        )
-        txt_feat = TextTransformer(config=cfg, tower=cfg.text, name="text")(
-            input_ids, attention_mask, deterministic
-        )
-        img_emb = nn.Dense(
-            cfg.embed_dim, use_bias=False, name="image_projection",
-            dtype=cfg.dtypes.compute,
-        )(img_feat)
-        txt_emb = nn.Dense(
-            cfg.embed_dim, use_bias=False, name="text_projection",
-            dtype=cfg.dtypes.compute,
-        )(txt_feat)
-        logit_scale = self.param(
-            "logit_scale",
-            lambda _key: jnp.array(cfg.logit_scale_init, jnp.float32),
-        )
-        return img_emb.astype(jnp.float32), txt_emb.astype(jnp.float32), logit_scale
+        img_emb = self.encode_image(images, deterministic)
+        txt_emb = self.encode_text(input_ids, attention_mask, deterministic)
+        return img_emb, txt_emb, self.logit_scale
 
     def encode_image(self, images, deterministic: bool = True):
-        feat = VisionTransformer(
-            config=self.config, tower=self.config.vision, name="vision"
-        )(images, deterministic)
-        return nn.Dense(
-            self.config.embed_dim, use_bias=False, name="image_projection",
-            dtype=self.config.dtypes.compute,
-        )(feat).astype(jnp.float32)
+        feat = self.vision(images, deterministic)
+        return self.image_projection(feat).astype(jnp.float32)
 
     def encode_text(self, input_ids, attention_mask=None, deterministic=True):
-        feat = TextTransformer(
-            config=self.config, tower=self.config.text, name="text"
-        )(input_ids, attention_mask, deterministic)
-        return nn.Dense(
-            self.config.embed_dim, use_bias=False, name="text_projection",
-            dtype=self.config.dtypes.compute,
-        )(feat).astype(jnp.float32)
+        feat = self.text(input_ids, attention_mask, deterministic)
+        return self.text_projection(feat).astype(jnp.float32)
 
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:

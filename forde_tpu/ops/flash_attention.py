@@ -54,6 +54,47 @@ def _dot(a, b, dims):
 # ---------------------------------------------------------------------------
 
 
+def _loop_bounds(row_start, rows, block_c, n_cblocks, window, causal, kv_len):
+    """[start, end) of column blocks a row block touches, plus the interior
+    sub-range [fs, fe) in which EVERY (row, col) pair satisfies the mask —
+    interior iterations skip the iota/compare/select work entirely. At
+    D=64 the per-block VPU mask cost is comparable to the MXU matmuls, so
+    this ~halves interior-block cost (benchmarks/flash_sweep.py).
+
+    Rows/cols are q/k for the fwd+dq kernels. Bounds may be traced ints.
+    """
+    if kv_len is not None:
+        n_cblocks = pl.cdiv(kv_len, block_c)
+    if causal:
+        j_end = jax.lax.div(row_start + rows - 1, block_c) + 1
+    else:
+        j_end = n_cblocks
+    if window is not None:
+        j_start = jnp.maximum(0, jax.lax.div(row_start - window + 1, block_c))
+    else:
+        j_start = 0
+
+    # Interior conditions (all pairs unmasked), col block j starting at
+    # cs = j*block_c:
+    #   causal  all-true iff cs + block_c - 1 <= row_start
+    #   window  all-true iff (row_start + rows - 1) - cs <  window
+    #   kv_len  all-true iff cs + block_c <= kv_len
+    fs, fe = j_start, j_end
+    if window is not None:
+        fs = jnp.maximum(
+            fs, -jnp.floor_divide(-(row_start + rows - window), block_c)
+        )
+    if causal:
+        fe = jnp.minimum(
+            fe, jnp.floor_divide(row_start - block_c + 1, block_c) + 1
+        )
+    if kv_len is not None:
+        fe = jnp.minimum(fe, kv_len // block_c)
+    fs = jnp.clip(fs, j_start, j_end)
+    fe = jnp.clip(fe, fs, j_end)
+    return j_start, j_end, fs, fe
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q, block_k, window, causal,
     kv_len,
@@ -65,54 +106,49 @@ def _fwd_kernel(
     # rate); softmax statistics and the accumulator remain fp32.
     q = q_ref[0, 0]  # (block_q, D)
     seq_k = k_ref.shape[2]
-    n_kblocks = seq_k // block_k
-    if kv_len is not None:
-        n_kblocks = pl.cdiv(kv_len, block_k)
+    j_start, j_end, fs, fe = _loop_bounds(
+        q_start, block_q, block_k, seq_k // block_k, window, causal, kv_len
+    )
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
-    if causal:
-        j_end = jax.lax.div(q_start + block_q - 1, block_k) + 1
-    else:
-        j_end = n_kblocks
-    if window is not None:
-        j_start = jnp.maximum(0, jax.lax.div(q_start - window + 1, block_k))
-    else:
-        j_start = 0
+    def make_body(masked):
+        def body(j, carry):
+            m_prev, l_prev, acc = carry
+            k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+            v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+            s = _dot(q, k, ((1,), (1,))) * scale  # (block_q, block_k) fp32
+            if masked:
+                diff = (q_start + q_iota) - (j * block_k + k_iota)
+                mask = jnp.ones_like(s, dtype=jnp.bool_)
+                if causal:
+                    mask = mask & (diff >= 0)
+                if window is not None:
+                    mask = mask & (diff < window)
+                if kv_len is not None:
+                    mask = mask & (j * block_k + k_iota < kv_len)
+                s = jnp.where(mask, s, MASK_VALUE)
 
-    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + _dot(p.astype(v.dtype), v, ((1,), (0,)))
+            return m_new, l_new, acc
 
-    def body(j, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        s = _dot(q, k, ((1,), (1,))) * scale  # (block_q, block_k) fp32
-        k_pos = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        diff = q_pos - k_pos
-        mask = jnp.ones_like(s, dtype=jnp.bool_)
-        if causal:
-            mask = mask & (diff >= 0)
-        if window is not None:
-            mask = mask & (diff < window)
-        if kv_len is not None:
-            mask = mask & (k_pos < kv_len)
-        s = jnp.where(mask, s, MASK_VALUE)
-
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + _dot(p.astype(v.dtype), v, ((1,), (0,)))
-        return m_new, l_new, acc
+        return body
 
     d = q.shape[-1]
-    init = (
+    carry = (
         jnp.full((block_q, 1), MASK_VALUE, jnp.float32),
         jnp.zeros((block_q, 1), jnp.float32),
         jnp.zeros((block_q, d), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(j_start, j_end, body, init)
+    masked_body, inner_body = make_body(True), make_body(False)
+    carry = jax.lax.fori_loop(j_start, fs, masked_body, carry)
+    carry = jax.lax.fori_loop(fs, fe, inner_body, carry)
+    m, l, acc = jax.lax.fori_loop(fe, j_end, masked_body, carry)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
     # lse is carried as (B, H, S, 1): the trailing singleton keeps the block
@@ -173,44 +209,41 @@ def _bwd_dq_kernel(
     lse = lse_ref[0, 0]  # (block_q, 1)
     delta = delta_ref[0, 0]
     seq_k = k_ref.shape[2]
-    n_kblocks = seq_k // block_k
-    if kv_len is not None:
-        n_kblocks = pl.cdiv(kv_len, block_k)
+    j_start, j_end, fs, fe = _loop_bounds(
+        q_start, block_q, block_k, seq_k // block_k, window, causal, kv_len
+    )
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
-    if causal:
-        j_end = jax.lax.div(q_start + block_q - 1, block_k) + 1
-    else:
-        j_end = n_kblocks
-    if window is not None:
-        j_start = jnp.maximum(0, jax.lax.div(q_start - window + 1, block_k))
-    else:
-        j_start = 0
+    def make_body(masked):
+        def body(j, dq):
+            k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+            v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+            s = _dot(q, k, ((1,), (1,))) * scale
+            p = jnp.exp(s - lse)
+            if masked:
+                diff = (q_start + q_iota) - (j * block_k + k_iota)
+                mask = jnp.ones_like(s, dtype=jnp.bool_)
+                if causal:
+                    mask = mask & (diff >= 0)
+                if window is not None:
+                    mask = mask & (diff < window)
+                if kv_len is not None:
+                    mask = mask & (j * block_k + k_iota < kv_len)
+                p = jnp.where(mask, p, 0.0)
+            dp = _dot(do, v, ((1,), (1,)))
+            ds = p * (dp - delta) * scale
+            dq = dq + _dot(ds.astype(k.dtype), k, ((1,), (0,)))
+            return dq
 
-    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-
-    def body(j, dq):
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        s = _dot(q, k, ((1,), (1,))) * scale
-        k_pos = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        diff = q_pos - k_pos
-        mask = jnp.ones_like(s, dtype=jnp.bool_)
-        if causal:
-            mask = mask & (diff >= 0)
-        if window is not None:
-            mask = mask & (diff < window)
-        if kv_len is not None:
-            mask = mask & (k_pos < kv_len)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-        dp = _dot(do, v, ((1,), (1,)))
-        ds = p * (dp - delta) * scale
-        dq = dq + _dot(ds.astype(k.dtype), k, ((1,), (0,)))
-        return dq
+        return body
 
     d = q.shape[-1]
-    dq = jax.lax.fori_loop(j_start, j_end, body, jnp.zeros((block_q, d), jnp.float32))
+    dq = jnp.zeros((block_q, d), jnp.float32)
+    masked_body, inner_body = make_body(True), make_body(False)
+    dq = jax.lax.fori_loop(j_start, fs, masked_body, dq)
+    dq = jax.lax.fori_loop(fs, fe, inner_body, dq)
+    dq = jax.lax.fori_loop(fe, j_end, masked_body, dq)
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
@@ -236,36 +269,62 @@ def _bwd_dkv_kernel(
     else:
         i_end = n_qblocks
 
+    # Interior sub-range [fs, fe): q blocks where every pair is unmasked
+    # (mirror of _loop_bounds with the q/k roles swapped).
+    fs, fe = i_start, i_end
+    if causal:
+        fs = jnp.maximum(
+            fs, -jnp.floor_divide(-(k_start + block_k - 1), block_q)
+        )
+    if window is not None:
+        fe = jnp.minimum(
+            fe, jnp.floor_divide(k_start + window - block_q, block_q) + 1
+        )
+    if kv_len is not None:
+        # k-block partially beyond kv_len -> no interior at all
+        fe = jnp.where(k_start + block_k <= kv_len, fe, fs)
+    fs = jnp.clip(fs, i_start, i_end)
+    fe = jnp.clip(fe, fs, i_end)
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
-    def body(i, carry):
-        dk, dv = carry
-        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]  # (block_q, 1)
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        s = _dot(q, k, ((1,), (1,))) * scale  # (block_q, block_k)
-        q_pos = i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        diff = q_pos - k_pos
-        mask = jnp.ones_like(s, dtype=jnp.bool_)
-        if causal:
-            mask = mask & (diff >= 0)
-        if window is not None:
-            mask = mask & (diff < window)
-        if kv_len is not None:
-            mask = mask & (k_pos < kv_len)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (block_q, block_k)
-        dv = dv + _dot(p.astype(do.dtype), do, ((0,), (0,)))
-        dp = _dot(do, v, ((1,), (1,)))
-        ds = p * (dp - delta) * scale
-        dk = dk + _dot(ds.astype(q.dtype), q, ((0,), (0,)))
-        return dk, dv
+    def make_body(masked):
+        def body(i, carry):
+            dk, dv = carry
+            q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+            do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
+            lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]  # (block_q, 1)
+            delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+            s = _dot(q, k, ((1,), (1,))) * scale  # (block_q, block_k)
+            p = jnp.exp(s - lse)
+            if masked:
+                diff = (i * block_q + q_iota) - k_pos
+                mask = jnp.ones_like(s, dtype=jnp.bool_)
+                if causal:
+                    mask = mask & (diff >= 0)
+                if window is not None:
+                    mask = mask & (diff < window)
+                if kv_len is not None:
+                    mask = mask & (k_pos < kv_len)
+                p = jnp.where(mask, p, 0.0)
+            dv = dv + _dot(p.astype(do.dtype), do, ((0,), (0,)))
+            dp = _dot(do, v, ((1,), (1,)))
+            ds = p * (dp - delta) * scale
+            dk = dk + _dot(ds.astype(q.dtype), q, ((0,), (0,)))
+            return dk, dv
+
+        return body
 
     d = k.shape[-1]
-    init = (jnp.zeros((block_k, d), jnp.float32), jnp.zeros((block_k, d), jnp.float32))
-    dk, dv = jax.lax.fori_loop(i_start, i_end, body, init)
+    carry = (
+        jnp.zeros((block_k, d), jnp.float32),
+        jnp.zeros((block_k, d), jnp.float32),
+    )
+    masked_body, inner_body = make_body(True), make_body(False)
+    carry = jax.lax.fori_loop(i_start, fs, masked_body, carry)
+    carry = jax.lax.fori_loop(fs, fe, inner_body, carry)
+    dk, dv = jax.lax.fori_loop(fe, i_end, masked_body, carry)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -372,13 +431,17 @@ def flash_attention(
     window_size: Optional[int] = None,
     scale: Optional[float] = None,
     impl: str = "auto",
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention over (B, H, S, D) with causal/sliding-window masking.
 
     ``impl``: "auto" (Pallas on TPU, jnp reference elsewhere), "pallas",
     "interpret" (Pallas in interpreter mode, for tests), or "reference".
+    ``block_q``/``block_k`` default to a swept heuristic (512 for S >= 1024,
+    else 128 — benchmarks/flash_sweep.py: 512x512 is 2.8x the masked
+    reference at S=2048/window=512 vs 1.7x for 128x128; bigger blocks
+    amortize the fori_loop and enlarge the unmasked interior).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "reference"
@@ -397,6 +460,9 @@ def flash_attention(
         scale = 1.0 / float(d) ** 0.5
     scale = float(scale)
 
+    default_block = 512 if s >= 1024 else DEFAULT_BLOCK_Q
+    block_q = block_q or default_block
+    block_k = block_k or default_block
     if s <= 512:
         # Short sequences: one block of the whole (8-aligned) sequence.
         # Minimizes padding copies (e.g. ViT's S=197 pads to 200, not 256).

@@ -187,3 +187,29 @@ def test_eval_embeddings_no_mutation():
     batch3 = _batch(3, cfg)
     img3, _, _ = clip_eval_embeddings(state, batch3)
     assert img3.shape == (3, cfg.embed_dim)
+
+
+def test_single_tower_encode_methods_match_call():
+    """encode_image / encode_text (the serving surface) must produce the
+    same embeddings as the joint __call__ and share its param tree."""
+    cfg = tiny_cfg()
+    model = FORDEDualEncoder(config=cfg)
+    batch = _batch(2, cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["image"], batch["input_ids"],
+        batch["attention_mask"],
+    )
+    (img, txt, _), _ = model.apply(
+        variables, batch["image"], batch["input_ids"], batch["attention_mask"],
+        mutable=["stats_buffer"],
+    )
+    img_solo, _ = model.apply(
+        variables, batch["image"], method=FORDEDualEncoder.encode_image,
+        mutable=["stats_buffer"],
+    )
+    txt_solo, _ = model.apply(
+        variables, batch["input_ids"], batch["attention_mask"],
+        method=FORDEDualEncoder.encode_text, mutable=["stats_buffer"],
+    )
+    np.testing.assert_allclose(np.asarray(img_solo), np.asarray(img), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(txt_solo), np.asarray(txt), atol=1e-6)
