@@ -21,7 +21,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from forde_tpu.brain.sensing import hoyer_sparsity
+from forde_tpu.ops.stat_sums import moment_sums
 from forde_tpu.ops.stateful import grad_stat_tap, stateful_multiplex
 
 GRAD_TAP_NAME = "z_tap"
@@ -30,16 +33,17 @@ GRAD_TAP_NAME = "z_tap"
 def activation_stats(z: jnp.ndarray) -> jnp.ndarray:
     """Per-neuron [act_gini, act_gdp, act_var] for one step; z (..., F).
 
-    Reduces with fp32 accumulators directly from the (possibly bf16)
-    activations — no fp32 copy of z is ever materialized (the copy cost
-    ~4GB/step at ViT-B scale).
+    Moment sums via ops/stat_sums.moment_sums (XLA reduction passes by
+    default — the single-pass pallas variant measured slower, see that
+    module's docstring); fp32 accumulators, no fp32 copy of z is ever
+    materialized. stop_gradient because the stats feed a mutable
+    collection, not the loss (cotangent is zero).
     """
     f = z.shape[-1]
     flat = z.reshape(-1, f)
     n = flat.shape[0]
-    l1 = jnp.sum(jnp.abs(flat), axis=0, dtype=jnp.float32)
-    sumsq = jnp.sum(flat * flat, axis=0, dtype=jnp.float32)
-    mean = jnp.sum(flat, axis=0, dtype=jnp.float32) / n
+    l1, sumsq, sm = moment_sums(jax.lax.stop_gradient(flat))
+    mean = sm / n
     l2 = jnp.sqrt(sumsq)
     safe_l2 = jnp.where(l2 == 0, 1.0, l2)
     denom = (float(n) ** 0.5 - 1.0) if n > 1 else 1.0

@@ -542,73 +542,106 @@ def _mha_mask_2d(s, causal, window, kv_len_scalar, kv_bound):
 
 
 def _mha_fwd_kernel(
-    *refs, scale, num_heads, head_dim, window, causal, has_lens, kv_bound
+    *refs, scale, num_heads, head_dim, window, causal, has_lens, kv_bound,
+    batch_block,
 ):
     if has_lens:
         qkv_ref, len_ref, o_ref, lse_ref = refs
-        kv_len_scalar = len_ref[pl.program_id(0), 0].astype(jnp.int32)
     else:
         qkv_ref, o_ref, lse_ref = refs
-        kv_len_scalar = None
-    x = qkv_ref[0]  # (S, 3*H*D), input dtype (bf16 MXU fast path)
-    seq = x.shape[0]
     h, d = num_heads, head_dim
-    mask = _mha_mask_2d((seq, seq), causal, window, kv_len_scalar, kv_bound)
+    seq = qkv_ref.shape[1]
+    # Batch-independent mask hoisted out of the element loop.
+    base_mask = _mha_mask_2d((seq, seq), causal, window, None, kv_bound)
 
-    for hi in range(h):
-        q = x[:, hi * d:(hi + 1) * d]
-        k = x[:, (h + hi) * d:(h + hi + 1) * d]
-        v = x[:, (2 * h + hi) * d:(2 * h + hi + 1) * d]
-        s = _dot(q, k, ((1,), (1,))) * scale  # (S, S) fp32
-        if mask is not None:
-            s = jnp.where(mask, s, MASK_VALUE)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o = _dot((p / l_safe).astype(v.dtype), v, ((1,), (0,)))
-        o_ref[0, :, hi * d:(hi + 1) * d] = o.astype(o_ref.dtype)
-        lse_ref[0, hi] = m + jnp.log(l_safe)
+    for bi in range(batch_block):
+        x = qkv_ref[bi]  # (S, 3*H*D), input dtype (bf16 MXU fast path)
+        mask = base_mask
+        if has_lens:
+            kv_len_scalar = len_ref[
+                pl.program_id(0) * batch_block + bi, 0
+            ].astype(jnp.int32)
+            mask = _mha_mask_2d((seq, seq), causal, window, kv_len_scalar, kv_bound)
+        for hi in range(h):
+            q = x[:, hi * d:(hi + 1) * d]
+            k = x[:, (h + hi) * d:(h + hi + 1) * d]
+            v = x[:, (2 * h + hi) * d:(2 * h + hi + 1) * d]
+            s = _dot(q, k, ((1,), (1,))) * scale  # (S, S) fp32
+            if mask is not None:
+                s = jnp.where(mask, s, MASK_VALUE)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o = _dot((p / l_safe).astype(v.dtype), v, ((1,), (0,)))
+            o_ref[bi, :, hi * d:(hi + 1) * d] = o.astype(o_ref.dtype)
+            lse_ref[bi, hi] = m + jnp.log(l_safe)
 
 
 def _mha_bwd_kernel(
-    *refs, scale, num_heads, head_dim, window, causal, has_lens, kv_bound
+    *refs, scale, num_heads, head_dim, window, causal, has_lens, kv_bound,
+    batch_block,
 ):
     if has_lens:
         qkv_ref, do_ref, lse_ref, len_ref, dqkv_ref = refs
-        kv_len_scalar = len_ref[pl.program_id(0), 0].astype(jnp.int32)
     else:
         qkv_ref, do_ref, lse_ref, dqkv_ref = refs
-        kv_len_scalar = None
-    x = qkv_ref[0]
-    seq = x.shape[0]
     h, d = num_heads, head_dim
-    mask = _mha_mask_2d((seq, seq), causal, window, kv_len_scalar, kv_bound)
+    seq = qkv_ref.shape[1]
+    base_mask = _mha_mask_2d((seq, seq), causal, window, None, kv_bound)
 
-    for hi in range(h):
-        q = x[:, hi * d:(hi + 1) * d]
-        k = x[:, (h + hi) * d:(h + hi + 1) * d]
-        v = x[:, (2 * h + hi) * d:(2 * h + hi + 1) * d]
-        do = do_ref[0, :, hi * d:(hi + 1) * d]
-        lse = lse_ref[0, hi]  # (S, 1)
-        s = _dot(q, k, ((1,), (1,))) * scale
-        p = jnp.exp(s - lse)  # normalized probabilities
-        if mask is not None:
-            p = jnp.where(mask, p, 0.0)
-        pb = p.astype(do.dtype)
-        dv = _dot(pb, do, ((0,), (0,)))
-        dp = _dot(do, v, ((1,), (1,)))  # (S, S) fp32
-        delta = jnp.sum(p * dp, axis=1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
-        dq = _dot(ds, k, ((1,), (0,)))
-        dk = _dot(ds, q, ((0,), (0,)))
-        dqkv_ref[0, :, hi * d:(hi + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, (h + hi) * d:(h + hi + 1) * d] = dk.astype(
-            dqkv_ref.dtype
-        )
-        dqkv_ref[0, :, (2 * h + hi) * d:(2 * h + hi + 1) * d] = dv.astype(
-            dqkv_ref.dtype
-        )
+    for bi in range(batch_block):
+        x = qkv_ref[bi]
+        mask = base_mask
+        if has_lens:
+            kv_len_scalar = len_ref[
+                pl.program_id(0) * batch_block + bi, 0
+            ].astype(jnp.int32)
+            mask = _mha_mask_2d((seq, seq), causal, window, kv_len_scalar, kv_bound)
+        for hi in range(h):
+            q = x[:, hi * d:(hi + 1) * d]
+            k = x[:, (h + hi) * d:(h + hi + 1) * d]
+            v = x[:, (2 * h + hi) * d:(2 * h + hi + 1) * d]
+            do = do_ref[bi, :, hi * d:(hi + 1) * d]
+            lse = lse_ref[bi, hi]  # (S, 1)
+            s = _dot(q, k, ((1,), (1,))) * scale
+            p = jnp.exp(s - lse)  # normalized probabilities
+            if mask is not None:
+                p = jnp.where(mask, p, 0.0)
+            pb = p.astype(do.dtype)
+            dv = _dot(pb, do, ((0,), (0,)))
+            dp = _dot(do, v, ((1,), (1,)))  # (S, S) fp32
+            delta = jnp.sum(p * dp, axis=1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(q.dtype)
+            dq = _dot(ds, k, ((1,), (0,)))
+            dk = _dot(ds, q, ((0,), (0,)))
+            dqkv_ref[bi, :, hi * d:(hi + 1) * d] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[bi, :, (h + hi) * d:(h + hi + 1) * d] = dk.astype(
+                dqkv_ref.dtype
+            )
+            dqkv_ref[bi, :, (2 * h + hi) * d:(2 * h + hi + 1) * d] = dv.astype(
+                dqkv_ref.dtype
+            )
+
+
+def _mha_batch_block(b, s, hd, dtype_bytes):
+    """Batch elements per grid program. One-element programs are pure
+    overhead at ViT-Ti scale (512 programs x ~2us prologue/DMA latency was
+    ~27ms/step of the tiny preset's 81ms, profiled); blocking amortizes it.
+    Budget 2.5MB of VMEM for the backward's resident blocks (qkv + dqkv +
+    do = 7*S*HD bytes per element) — Mosaic double-buffers grid blocks and
+    the per-head fp32 (S, S) intermediates live beside them, so a larger
+    budget OOMs the 16MB scoped vmem (bb=8 at ViT-Ti measured 18.1MB)."""
+    import os
+
+    override = os.environ.get("FORDE_MHA_BB")
+    bytes_per = 7 * s * hd * dtype_bytes
+    bb = max(1, min(16, (2 * 1024 * 1024 + 512 * 1024) // max(bytes_per, 1)))
+    if override:
+        bb = min(int(override), b)
+    while b % bb:
+        bb -= 1
+    return bb
 
 
 def _mha_len_spec(b):
@@ -624,7 +657,8 @@ def _mha_fwd_pallas(
     b, s, _ = qkv.shape
     has_lens = lens is not None
     hd = num_heads * head_dim
-    full = lambda width: pl.BlockSpec((1, s, width), lambda bi: (bi, 0, 0))
+    bb = _mha_batch_block(b, s, hd, qkv.dtype.itemsize)
+    full = lambda width: pl.BlockSpec((bb, s, width), lambda bi: (bi, 0, 0))
     in_specs = [full(3 * hd)]
     args = [qkv]
     if has_lens:
@@ -633,14 +667,15 @@ def _mha_fwd_pallas(
     kernel = functools.partial(
         _mha_fwd_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim,
         window=window, causal=causal, has_lens=has_lens, kv_bound=kv_bound,
+        batch_block=bb,
     )
     o, lse = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=in_specs,
         out_specs=[
             full(hd),
-            pl.BlockSpec((1, num_heads, s, 1), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((bb, num_heads, s, 1), lambda bi: (bi, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, s, hd), qkv.dtype),
@@ -658,11 +693,12 @@ def _mha_bwd_pallas(
     b, s, _ = qkv.shape
     has_lens = lens is not None
     hd = num_heads * head_dim
-    full = lambda width: pl.BlockSpec((1, s, width), lambda bi: (bi, 0, 0))
+    bb = _mha_batch_block(b, s, hd, qkv.dtype.itemsize)
+    full = lambda width: pl.BlockSpec((bb, s, width), lambda bi: (bi, 0, 0))
     in_specs = [
         full(3 * hd),
         full(hd),
-        pl.BlockSpec((1, num_heads, s, 1), lambda bi: (bi, 0, 0, 0)),
+        pl.BlockSpec((bb, num_heads, s, 1), lambda bi: (bi, 0, 0, 0)),
     ]
     args = [qkv, do, lse]
     if has_lens:
@@ -671,10 +707,11 @@ def _mha_bwd_pallas(
     kernel = functools.partial(
         _mha_bwd_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim,
         window=window, causal=causal, has_lens=has_lens, kv_bound=kv_bound,
+        batch_block=bb,
     )
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=in_specs,
         out_specs=full(3 * hd),
         out_shape=jax.ShapeDtypeStruct((b, s, 3 * hd), qkv.dtype),

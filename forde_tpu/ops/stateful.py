@@ -143,12 +143,16 @@ def stateful_multiplex(
 
 
 def _grad_stats_from_cotangent(g: jnp.ndarray) -> jnp.ndarray:
-    """Per-neuron [grad_gini (Hoyer), grad_gdp (mean |g|)] from dL/dz."""
+    """Per-neuron [grad_gini (Hoyer), grad_gdp (mean |g|)] from dL/dz.
+
+    Both moment sums come from one pass over g (ops/stat_sums)."""
+    from forde_tpu.ops.stat_sums import moment_sums
+
     f = g.shape[-1]
-    flat = g.reshape(-1, f).astype(jnp.float32)
+    flat = g.reshape(-1, f)
     n = flat.shape[0]
-    l1 = jnp.sum(jnp.abs(flat), axis=0)
-    l2 = jnp.sqrt(jnp.sum(flat * flat, axis=0))
+    l1, sumsq, _ = moment_sums(flat)
+    l2 = jnp.sqrt(sumsq)
     safe_l2 = jnp.where(l2 == 0, 1.0, l2)
     denom = (float(n) ** 0.5 - 1.0) if n > 1 else 1.0
     gini = jnp.where(l2 == 0, 0.0, (float(n) ** 0.5 - l1 / safe_l2) / denom)
