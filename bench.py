@@ -38,6 +38,8 @@ def main() -> None:
 
     cfg = (vit_b16_config() if preset == "vit_b16" else vit_tiny_config())
     cfg = cfg.replace(dtypes=DTypePolicy.bf16(), forde_lite=False)
+    if os.environ.get("BENCH_REMAT"):
+        cfg = cfg.replace(remat=os.environ["BENCH_REMAT"])
 
     state = create_clip_train_state(
         cfg, jax.random.PRNGKey(0), 1e-4, 0.01,

@@ -72,6 +72,12 @@ class StatefulLayer(nn.Module):
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     sense: bool = True
+    # NOTE (measured, v5e): do NOT subsample the sensing inputs to save
+    # stat bandwidth. Both a strided z[::4] and a contiguous-prefix
+    # z[:B//4] were tried at ViT-Ti: the sliced reductions stop fusing
+    # with their producers, force extra layouts, and compile
+    # pathologically — 6,663 -> 4,947 pairs/s despite reading 4x fewer
+    # stat bytes. Full-population sensing is the fast configuration.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -807,7 +807,12 @@ def flash_mha(
     scale = float(scale)
 
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+        import os
+
+        impl = os.environ.get(
+            "FORDE_MHA_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "reference",
+        )
     if impl == "reference":
         return _mha_reference_path(
             qkv, num_heads, head_dim, kv_lens, causal, window_size, scale

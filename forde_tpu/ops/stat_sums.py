@@ -72,6 +72,20 @@ def moment_sums(x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
             ],
             axis=0,
         )
+    if impl == "variadic":
+        # One variadic lax.reduce: XLA fuses the elementwise abs/square
+        # into a SINGLE pass over x (vs three separate reduction fusions).
+        # CPU-verified; on the v5e remote compiler a step full of these
+        # never finished compiling (>>10 min) — do not default to it.
+        xf = x2d.astype(jnp.float32)
+        zero = jnp.zeros((), jnp.float32)
+        l1, sq, sm = jax.lax.reduce(
+            (jnp.abs(xf), xf * xf, xf),
+            (zero, zero, zero),
+            lambda acc, val: tuple(a + v for a, v in zip(acc, val)),
+            dimensions=(0,),
+        )
+        return jnp.stack([l1, sq, sm], axis=0)
     n = x2d.shape[0]
     block_n = _block_rows(f, x2d.dtype.itemsize)
     n_pad = (n + block_n - 1) // block_n * block_n
