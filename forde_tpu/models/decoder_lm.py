@@ -79,8 +79,9 @@ class DecoderBlock(nn.Module):
                 top_k_global=cfg.top_k_global,
                 impl=cfg.attention_impl,
                 dtype=dtype,
+                max_decode_len=cfg.max_seq_len,
                 name="sparse_attention",
-            )(attn_input, mask)
+            )(attn_input, mask, decode=decode)
         else:
             attn_output = CausalSelfAttention(
                 num_heads=cfg.num_heads,
@@ -189,11 +190,11 @@ class FORDEDecoderLM(nn.Module):
         cfg = self.config
         dtype = cfg.dtypes.compute
         b, s = input_ids.shape
-        if decode and (cfg.use_sparse_attention or cfg.scan_layers):
+        if decode and cfg.scan_layers:
             raise ValueError(
-                "KV-cache decode requires use_sparse_attention=False and "
-                "scan_layers=False (NSA decode falls back to "
-                "models.generate.generate full recompute)"
+                "KV-cache decode requires scan_layers=False (scan carries "
+                "no per-layer cache); NSA configs ARE supported — see "
+                "nn/attention.NativeSparseAttention._decode_step"
             )
 
         token_embedding = nn.Embed(

@@ -96,11 +96,25 @@ def generate_cached(
 ) -> jnp.ndarray:
     """KV-cache incremental sampling: O(1) attention work per new token.
 
-    Requires ``use_sparse_attention=False`` and ``scan_layers=False``
-    (the dense-causal decode path); other configs use ``generate``.
-    The prompt is prefilled in one forward pass, then each step runs a
-    single-token forward against the cache.
+    Requires ``scan_layers=False`` (the scan carries no per-layer cache).
+    Dense-causal configs prefill the whole prompt in one forward pass;
+    NSA configs feed the prompt token-by-token (the NSA caches — window
+    ring, pool chunk sums, top-k score/kv buffers — are streaming
+    structures; a parallel NSA prefill is future work).
+
+    NSA note: this path implements STREAMING semantics (each position
+    computed at its generation-time length), while ``generate``'s
+    full-recompute reevaluates earlier positions under the final
+    length's gates/top-k selection — NSA's reference semantics are not
+    streaming-consistent in depth, so the two can differ once the
+    sequence outgrows the local window (exactly below the window they
+    coincide; see nn/attention.NativeSparseAttention._decode_step).
     """
+    if model.config.use_sparse_attention:
+        return _generate_cached_stepwise(
+            model, variables, prompt_ids, key, max_new_tokens, temperature,
+            top_k,
+        )
     b, p = prompt_ids.shape
 
     # Materialize cache shapes (init-time creation; values unused).
@@ -153,5 +167,50 @@ def generate_cached(
         (ids, cache, jnp.array(p + 1, jnp.int32), next_token, key),
         None,
         length=max_new_tokens - 1,
+    )
+    return ids
+
+
+def _generate_cached_stepwise(
+    model, variables, prompt_ids, key, max_new_tokens, temperature, top_k
+):
+    """Single-token-at-a-time cached decoding (NSA configs): every position
+    — prompt and generated alike — runs one cached step; sampled tokens are
+    written only past the prompt (teacher forcing inside it)."""
+    b, p = prompt_ids.shape
+    total = p + max_new_tokens
+
+    cache = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((b, 1), jnp.int32), None, True, True
+    )["cache"]
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+    ids = jnp.zeros((b, total), jnp.int32).at[:, :p].set(prompt_ids)
+
+    def step(carry, t):
+        ids, cache, key = carry
+        token = jax.lax.dynamic_slice(ids, (0, t), (b, 1))
+        (logits, _), updated = model.apply(
+            {**model_vars, "cache": cache},
+            token,
+            None,
+            True,
+            True,
+            mutable=["cache", "stats_buffer"],
+        )
+        key, sample_key = jax.random.split(key)
+        nxt = _sample(
+            logits[:, 0, :].astype(jnp.float32), sample_key, temperature, top_k
+        )
+        # keep the prompt token at t+1 while still inside the prompt
+        existing = jax.lax.dynamic_slice(ids, (0, t + 1), (b, 1))[:, 0]
+        write = jnp.where(t + 1 < p, existing, nxt)
+        ids = jax.lax.dynamic_update_slice(ids, write[:, None], (0, t + 1))
+        return (ids, updated["cache"], key), None
+
+    (ids, _, _), _ = jax.lax.scan(
+        step, (ids, cache, key), jnp.arange(total - 1)
     )
     return ids

@@ -55,16 +55,23 @@ def _merge_heads(x):
 class SlidingWindowAttention(nn.Module):
     """Causal sliding-window attention (reference sparse_attention.py:51-104),
     computed with the block-sparse flash kernel — work outside the window is
-    skipped, not masked."""
+    skipped, not masked.
+
+    ``decode=True``: incremental KV-cache path (one token per call after
+    init); the cache keeps the last ``max_decode_len`` positions and the
+    mask combines causality with the window bound."""
 
     num_heads: int
     head_dim: int
     window_size: int = 512
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    max_decode_len: int = 2048
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(
+        self, x, mask: Optional[jnp.ndarray] = None, decode: bool = False
+    ):
         b, s, d_model = x.shape
         qkv = nn.Dense(
             3 * self.num_heads * self.head_dim, name="qkv_proj", dtype=self.dtype
@@ -73,9 +80,43 @@ class SlidingWindowAttention(nn.Module):
         q = _split_heads(q, self.num_heads, self.head_dim)
         k = _split_heads(k, self.num_heads, self.head_dim)
         v = _split_heads(v, self.num_heads, self.head_dim)
-        out = flash_attention(
-            q, k, v, causal=True, window_size=self.window_size, impl=self.impl
-        )
+        if decode:
+            cache_shape = (b, self.num_heads, self.max_decode_len, self.head_dim)
+            cached_key = self.variable(
+                "cache", "cached_key", jnp.zeros, cache_shape, k.dtype
+            )
+            cached_value = self.variable(
+                "cache", "cached_value", jnp.zeros, cache_shape, v.dtype
+            )
+            cache_index = self.variable(
+                "cache", "cache_index", lambda: jnp.array(0, jnp.int32)
+            )
+            if self.is_initializing():
+                out = jnp.zeros_like(q)
+            else:
+                idx = cache_index.value
+                keys = jax.lax.dynamic_update_slice(
+                    cached_key.value, k, (0, 0, idx, 0)
+                )
+                values = jax.lax.dynamic_update_slice(
+                    cached_value.value, v, (0, 0, idx, 0)
+                )
+                cached_key.value = keys
+                cached_value.value = values
+                cache_index.value = idx + s
+                # causal AND in-window: 0 <= q_pos - k_pos < window
+                q_pos = idx + jnp.arange(s)[:, None]
+                k_pos = jnp.arange(self.max_decode_len)[None, :]
+                diff = q_pos - k_pos
+                attn_mask = ((diff >= 0) & (diff < self.window_size))[
+                    None, None
+                ]
+                out = attention_ref.mha_reference(q, keys, values, mask=attn_mask)
+        else:
+            out = flash_attention(
+                q, k, v, causal=True, window_size=self.window_size,
+                impl=self.impl,
+            )
         out = _merge_heads(out)
         return nn.Dense(d_model, name="out_proj", dtype=self.dtype)(out)
 
@@ -171,9 +212,17 @@ class NativeSparseAttention(nn.Module):
     use_top_k: bool = True
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    max_decode_len: int = 2048
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        decode: bool = False,
+    ):
+        if decode:
+            return self._decode_step(x)
         b, s, d_model = x.shape
 
         output = SlidingWindowAttention(
@@ -182,6 +231,7 @@ class NativeSparseAttention(nn.Module):
             window_size=self.window_size,
             impl=self.impl,
             dtype=self.dtype,
+            max_decode_len=self.max_decode_len,
             name="local_attention",
         )(x, mask)
 
@@ -206,6 +256,197 @@ class NativeSparseAttention(nn.Module):
             output = output + use_mask * gate_t * topk
 
         return output
+
+    # ------------------------------------------------------------------
+    # Incremental decoding (a capability the reference lacks entirely —
+    # it is training-only). One token per call.
+    #
+    # SEMANTICS: streaming — each position is computed at its own
+    # generation-time length. The LAST position of a clean full forward
+    # at length L matches this exactly (tests/test_generate.py). NSA's
+    # reference semantics are not streaming-consistent in DEPTH, though:
+    # the branch gates switch on the total sequence length and the top-k
+    # selection is global, so a teacher-forced forward at length L
+    # recomputes EARLIER positions under length-L gates/selection, which
+    # feeds later layers slightly different intermediates than the
+    # historical values a streaming decoder (necessarily) uses. Below
+    # seq_len == window_size the two coincide at every depth.
+    #
+    # Cache structure per branch:
+    #   local      — ring of the last window_size k/v.
+    #   compressed — running chunk sum; every compression_ratio tokens a
+    #                pool's k/v row is emitted. Pool p participates once
+    #                seq_len - window >= (p+1)*ratio (the training
+    #                num_pools bound), enforced through the fused
+    #                kernel's key_pos threshold.
+    #   top-k      — per-token importance scores + projected k/v rows;
+    #                each step re-selects the global top-k over all
+    #                scored positions (unwritten slots = -inf and masked
+    #                by their position anyway).
+    # The short-sequence branch gates become traced predicates of the
+    # current length (they are static Python bools in training).
+    # ------------------------------------------------------------------
+
+    def _decode_step(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, s, d_model = x.shape
+        assert s == 1 or self.is_initializing(), (
+            "NSA decode processes one token per call (prefill feeds the "
+            f"prompt token-by-token); got s={s}"
+        )
+        h, d, ratio = self.num_heads, self.head_dim, self.compression_ratio
+        max_pools = max(self.max_decode_len // ratio, 1)
+
+        pos = self.variable("cache", "nsa_pos", lambda: jnp.array(0, jnp.int32))
+        cur = pos.value  # position of this token; seq_len after = cur + 1
+
+        output = SlidingWindowAttention(
+            num_heads=h,
+            head_dim=d,
+            window_size=self.window_size,
+            impl=self.impl,
+            dtype=self.dtype,
+            max_decode_len=self.max_decode_len,
+            name="local_attention",
+        )(x, None, decode=True)
+
+        seq_len = cur + 1
+        if self.use_compressed:
+            comp = self._compressed_decode(x, cur, b, d_model, max_pools)
+            gate_c = jax.nn.sigmoid(
+                nn.Dense(d_model, name="gate_compressed", dtype=self.dtype)(x)
+            )
+            use_c = (seq_len - self.window_size > ratio).astype(x.dtype)
+            output = output + use_c * gate_c * comp
+
+        if self.use_top_k:
+            topk = self._top_k_decode(x, cur, b, d_model)
+            gate_t = jax.nn.sigmoid(
+                nn.Dense(d_model, name="gate_top_k", dtype=self.dtype)(x)
+            )
+            use_t = (seq_len > self.window_size).astype(x.dtype)
+            output = output + use_t * gate_t * topk
+
+        if not self.is_initializing():
+            pos.value = cur + 1
+        return output
+
+    def _compressed_decode(self, x, cur, b, d_model, max_pools):
+        h, d, ratio = self.num_heads, self.head_dim, self.compression_ratio
+        chunk_sum = self.variable(
+            "cache", "comp_chunk_sum",
+            lambda: jnp.zeros((b, d_model), jnp.float32),
+        )
+        comp_k = self.variable(
+            "cache", "comp_k",
+            lambda: jnp.zeros((b, h, max_pools, d), self.dtype),
+        )
+        comp_v = self.variable(
+            "cache", "comp_v",
+            lambda: jnp.zeros((b, h, max_pools, d), self.dtype),
+        )
+
+        q = nn.Dense(h * d, name="compressed_q_proj", dtype=self.dtype)(x)
+        # The pool k/v projections must exist in the param tree with the
+        # training shapes; at decode they are applied to one pool mean.
+        k_proj = nn.Dense(h * d, name="compressed_k_proj", dtype=self.dtype)
+        v_proj = nn.Dense(h * d, name="compressed_v_proj", dtype=self.dtype)
+
+        if self.is_initializing():
+            # trace the projections once so their params materialize
+            k_proj(x)
+            v_proj(x)
+            return jnp.zeros_like(x)
+
+        new_sum = chunk_sum.value + x[:, 0, :].astype(jnp.float32)
+        completes = (cur + 1) % ratio == 0  # this token closes a chunk
+        pool_idx = jnp.maximum((cur + 1) // ratio - 1, 0)
+
+        pool_mean = (new_sum / ratio).astype(x.dtype)[:, None, :]  # (B,1,D)
+        new_k = _split_heads(k_proj(pool_mean), h, d)  # (B,H,1,d)
+        new_v = _split_heads(v_proj(pool_mean), h, d)
+        old_k = jax.lax.dynamic_slice(
+            comp_k.value, (0, 0, pool_idx, 0), (b, h, 1, d)
+        )
+        old_v = jax.lax.dynamic_slice(
+            comp_v.value, (0, 0, pool_idx, 0), (b, h, 1, d)
+        )
+        write_k = jnp.where(completes, new_k, old_k)
+        write_v = jnp.where(completes, new_v, old_v)
+        comp_k.value = jax.lax.dynamic_update_slice(
+            comp_k.value, write_k, (0, 0, pool_idx, 0)
+        )
+        comp_v.value = jax.lax.dynamic_update_slice(
+            comp_v.value, write_v, (0, 0, pool_idx, 0)
+        )
+        chunk_sum.value = jnp.where(completes, jnp.zeros_like(new_sum), new_sum)
+
+        # Pool p participates once seq_len - window >= (p+1)*ratio, i.e.
+        # cur >= (p+1)*ratio + window - 1. The kernel compares against
+        # query position 0 (our one query), so shift thresholds by -cur.
+        pool_ends = (jnp.arange(max_pools) + 1) * ratio + self.window_size - 1
+        key_pos = jnp.broadcast_to(pool_ends[None, :] - cur, (b, max_pools))
+        qh = _split_heads(q, h, d)
+        out = small_kv_attention(
+            qh, comp_k.value, comp_v.value, key_pos, impl=self.impl
+        )
+        out = _merge_heads(out).astype(x.dtype)
+        return nn.Dense(d_model, name="compressed_out_proj", dtype=self.dtype)(out)
+
+    def _top_k_decode(self, x, cur, b, d_model):
+        h, d = self.num_heads, self.head_dim
+        max_len = self.max_decode_len
+        scores = self.variable(
+            "cache", "topk_scores",
+            lambda: jnp.full((b, max_len), -jnp.inf, jnp.float32),
+        )
+        topk_k = self.variable(
+            "cache", "topk_k", lambda: jnp.zeros((b, h, max_len, d), self.dtype)
+        )
+        topk_v = self.variable(
+            "cache", "topk_v", lambda: jnp.zeros((b, h, max_len, d), self.dtype)
+        )
+
+        importance = nn.Dense(1, name="importance_scorer", dtype=self.dtype)(
+            x
+        ).squeeze(-1)  # (B, 1)
+        q = nn.Dense(h * d, name="topk_q_proj", dtype=self.dtype)(x)
+        k_proj = nn.Dense(h * d, name="topk_k_proj", dtype=self.dtype)
+        v_proj = nn.Dense(h * d, name="topk_v_proj", dtype=self.dtype)
+
+        if self.is_initializing():
+            k_proj(x)
+            v_proj(x)
+            return jnp.zeros_like(x)
+
+        scores.value = jax.lax.dynamic_update_slice(
+            scores.value, importance.astype(jnp.float32), (0, cur)
+        )
+        new_k = _split_heads(k_proj(x), h, d)
+        new_v = _split_heads(v_proj(x), h, d)
+        topk_k.value = jax.lax.dynamic_update_slice(
+            topk_k.value, new_k, (0, 0, cur, 0)
+        )
+        topk_v.value = jax.lax.dynamic_update_slice(
+            topk_v.value, new_v, (0, 0, cur, 0)
+        )
+
+        k_sel = min(self.top_k_global, max_len)
+        _, idx = jax.lax.top_k(scores.value, k_sel)  # (B, k)
+        # gather the selected rows along the time axis
+        gather = jax.vmap(  # over batch
+            lambda kv, i: jnp.take(kv, i, axis=1), in_axes=(0, 0)
+        )
+        kk = gather(topk_k.value, idx)  # (B, H, k, d)
+        vv = gather(topk_v.value, idx)
+        # index-based causal mask: selected token j visible iff cur >= its
+        # source index (thresholds shifted by -cur for the position-0
+        # query); never-written slots keep -inf scores AND indices beyond
+        # cur, so they are masked out here too.
+        out = small_kv_attention(
+            _split_heads(q, h, d), kk, vv, idx - cur, impl=self.impl
+        )
+        out = _merge_heads(out).astype(x.dtype)
+        return nn.Dense(d_model, name="topk_out_proj", dtype=self.dtype)(out)
 
     def _compressed_global(self, x: jnp.ndarray) -> jnp.ndarray:
         """Coarse branch: mean-pool early positions into summaries, attend

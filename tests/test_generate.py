@@ -99,17 +99,106 @@ def test_cached_generation_matches_full_recompute():
     np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
 
 
-def test_cached_generation_rejects_nsa_config():
-    from forde_tpu.models.generate import generate_cached
+def test_nsa_cached_decode_matches_clean_prefix_forwards():
+    """Single-layer NSA decoder: streaming decode == a clean full forward
+    at every prefix length (all three branches + their length gates
+    exercised: window 16, ratio 4, top_k 8, sequence 30).
 
-    cfg = tiny_config()  # NSA on
+    Single-layer because NSA's reference semantics are NOT
+    streaming-consistent in depth: the branch gates switch on the TOTAL
+    sequence length and the top-k selection is global, so in a clean
+    forward at length L every position's output (not just the last) is
+    computed under length-L gates/selection — while streaming decode
+    computed position t under its historical length t+1. The LAST
+    position of a clean forward always matches streaming decode (this
+    test); deeper layers see the historical intermediate values, which
+    is the correct autoregressive serving semantics (see
+    test_nsa_multilayer_decode_matches_below_window for the regime where
+    both coincide at depth)."""
+    cfg = tiny_config(max_seq_len=32, num_layers=1)
     model = FORDEDecoderLM(config=cfg)
     variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
-    prompt = jnp.ones((1, 4), jnp.int32)
-    try:
-        generate_cached(
-            model, variables, prompt, jax.random.PRNGKey(0), max_new_tokens=2
+    ids = jnp.asarray(
+        np.random.RandomState(11).randint(0, cfg.vocab_size, (2, 30)),
+        jnp.int32,
+    )
+
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables["stats_buffer"],
+    }
+    cache = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 1), jnp.int32), None, True, True
+    )["cache"]
+    for t in range(ids.shape[1]):
+        (dec_logits, _), upd = model.apply(
+            {**model_vars, "cache": cache},
+            ids[:, t : t + 1],
+            None,
+            True,
+            True,
+            mutable=["cache", "stats_buffer"],
         )
-        raise AssertionError("expected ValueError for NSA decode")
-    except ValueError:
-        pass
+        cache = upd["cache"]
+        (clean_logits, _), _ = model.apply(
+            variables, ids[:, : t + 1], mutable=["stats_buffer"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec_logits[:, 0]),
+            np.asarray(clean_logits[:, -1]),
+            atol=2e-4,
+            rtol=2e-4,
+            err_msg=f"prefix length {t + 1}",
+        )
+
+
+def test_nsa_multilayer_decode_matches_below_window():
+    """Multi-layer NSA decode == clean forwards while seq_len <= window
+    (gates closed everywhere -> streaming and teacher-forced semantics
+    coincide at every depth)."""
+    cfg = tiny_config(max_seq_len=32)
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    ids = jnp.asarray(
+        np.random.RandomState(7).randint(0, cfg.vocab_size, (2, 16)), jnp.int32
+    )
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables["stats_buffer"],
+    }
+    cache = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 1), jnp.int32), None, True, True
+    )["cache"]
+    for t in range(16):  # = window_size
+        (dec_logits, _), upd = model.apply(
+            {**model_vars, "cache": cache},
+            ids[:, t : t + 1], None, True, True,
+            mutable=["cache", "stats_buffer"],
+        )
+        cache = upd["cache"]
+        (clean_logits, _), _ = model.apply(
+            variables, ids[:, : t + 1], mutable=["stats_buffer"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec_logits[:, 0]),
+            np.asarray(clean_logits[:, -1]),
+            atol=2e-4, rtol=2e-4, err_msg=f"prefix length {t + 1}",
+        )
+
+
+def test_nsa_generate_cached_runs_and_respects_prompt():
+    from forde_tpu.models.generate import generate_cached
+
+    cfg = tiny_config(max_seq_len=32)
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    prompt = jnp.asarray(
+        np.random.RandomState(5).randint(0, cfg.vocab_size, (2, 6)), jnp.int32
+    )
+    out = generate_cached(
+        model, variables, prompt, jax.random.PRNGKey(0), max_new_tokens=8,
+        temperature=0,
+    )
+    assert out.shape == (2, 14)
+    np.testing.assert_array_equal(np.asarray(out[:, :6]), np.asarray(prompt))
+    assert (np.asarray(out[:, 6:]) >= 0).all()
