@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import flax.core
 import jax
 import jax.numpy as jnp
 
@@ -97,13 +98,13 @@ def generate_cached(
     """KV-cache incremental sampling: O(1) attention work per new token.
 
     Requires ``scan_layers=False`` (the scan carries no per-layer cache).
-    Dense-causal configs prefill the whole prompt in one forward pass;
-    NSA configs feed the prompt token-by-token (the NSA caches — window
-    ring, pool chunk sums, top-k score/kv buffers — are streaming
-    structures; a parallel NSA prefill is future work).
+    Both config families prefill the whole prompt in ONE forward pass:
+    dense-causal through the decode path itself, NSA through
+    ``nsa_prefill`` (the streaming caches are built directly from the
+    captured per-layer activations of a teacher-forced forward).
 
-    NSA note: this path implements STREAMING semantics (each position
-    computed at its generation-time length), while ``generate``'s
+    NSA note: generation implements STREAMING semantics (each new
+    position computed at its generation-time length), while ``generate``'s
     full-recompute reevaluates earlier positions under the final
     length's gates/top-k selection — NSA's reference semantics are not
     streaming-consistent in depth, so the two can differ once the
@@ -174,27 +175,26 @@ def generate_cached(
 def _generate_cached_stepwise(
     model, variables, prompt_ids, key, max_new_tokens, temperature, top_k
 ):
-    """Single-token-at-a-time cached decoding (NSA configs): every position
-    — prompt and generated alike — runs one cached step; sampled tokens are
-    written only past the prompt (teacher forcing inside it)."""
+    """NSA cached decoding: parallel teacher-forced prefill (one forward,
+    ``nsa_prefill``) then streaming single-token steps for new tokens."""
     b, p = prompt_ids.shape
-    total = p + max_new_tokens
-
-    cache = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((b, 1), jnp.int32), None, True, True
-    )["cache"]
     model_vars = {
         "params": variables["params"],
         "stats_buffer": variables.get("stats_buffer", {}),
     }
-    ids = jnp.zeros((b, total), jnp.int32).at[:, :p].set(prompt_ids)
+    cache, last_logits = nsa_prefill(model, variables, prompt_ids)
+    key, sample_key = jax.random.split(key)
+    next_token = _sample(
+        last_logits.astype(jnp.float32), sample_key, temperature, top_k
+    )
+    ids = jnp.zeros((b, p + max_new_tokens), jnp.int32)
+    ids = ids.at[:, :p].set(prompt_ids).at[:, p].set(next_token)
 
-    def step(carry, t):
-        ids, cache, key = carry
-        token = jax.lax.dynamic_slice(ids, (0, t), (b, 1))
+    def step(carry, _):
+        ids, cache, cur, token, key = carry
         (logits, _), updated = model.apply(
             {**model_vars, "cache": cache},
-            token,
+            token[:, None],
             None,
             True,
             True,
@@ -204,13 +204,118 @@ def _generate_cached_stepwise(
         nxt = _sample(
             logits[:, 0, :].astype(jnp.float32), sample_key, temperature, top_k
         )
-        # keep the prompt token at t+1 while still inside the prompt
-        existing = jax.lax.dynamic_slice(ids, (0, t + 1), (b, 1))[:, 0]
-        write = jnp.where(t + 1 < p, existing, nxt)
-        ids = jax.lax.dynamic_update_slice(ids, write[:, None], (0, t + 1))
-        return (ids, updated["cache"], key), None
+        ids = jax.vmap(lambda row, t: row.at[cur].set(t))(ids, nxt)
+        return (ids, updated["cache"], cur + 1, nxt, key), None
 
-    (ids, _, _), _ = jax.lax.scan(
-        step, (ids, cache, key), jnp.arange(total - 1)
+    (ids, _, _, _, _), _ = jax.lax.scan(
+        step,
+        (ids, cache, jnp.array(p + 1, jnp.int32), next_token, key),
+        None,
+        length=max_new_tokens - 1,
     )
     return ids
+
+
+def nsa_prefill(model, variables, prompt_ids):
+    """Parallel (teacher-forced) prefill for NSA configs: ONE full forward
+    over the prompt, then the streaming caches are constructed directly
+    from the captured per-layer attention inputs — the cache contents are
+    all linear per-token/per-chunk functions of them (local k/v = slices
+    of qkv_proj(x); pool k/v = proj of chunk means; top-k rows =
+    scorer/proj of x). Returns (cache, last_position_logits).
+
+    Teacher-forced prefill is the RIGHT semantics for a given prompt (the
+    exact forward at its length); generation then continues with the
+    streaming decode step. Costs one O(P) forward instead of P
+    single-token steps.
+    """
+    cfg = model.config
+    b, p = prompt_ids.shape
+    dt = cfg.dtypes.compute
+
+    (logits, _), state = model.apply(
+        variables,
+        prompt_ids,
+        mutable=["stats_buffer", "intermediates"],
+        capture_intermediates=lambda mdl, name: mdl.name == "attn_norm",
+    )
+    inter = state["intermediates"]
+
+    cache = flax.core.unfreeze(
+        model.init(
+            jax.random.PRNGKey(0), jnp.zeros((b, 1), jnp.int32), None, True,
+            True,
+        )["cache"]
+    )
+    params = variables["params"]
+
+    def dense(x, prm):
+        y = x.astype(dt) @ prm["kernel"].astype(dt)
+        if "bias" in prm:
+            y = y + prm["bias"].astype(dt)
+        return y
+
+    def split_heads(x):
+        bb, ss, _ = x.shape
+        return x.reshape(bb, ss, cfg.num_heads, cfg.head_dim).transpose(
+            0, 2, 1, 3
+        )
+
+    cache["pos_index"] = jnp.asarray(p, jnp.int32)
+    for i in range(cfg.num_layers):
+        lname = f"layer_{i}"
+        x = inter[lname]["attn_norm"]["__call__"][0]  # (B, P, d_model)
+        lp = params[lname]["sparse_attention"]
+        lc = cache[lname]["sparse_attention"]
+        lc["nsa_pos"] = jnp.asarray(p, jnp.int32)
+
+        # local branch
+        qkv = dense(x, lp["local_attention"]["qkv_proj"])
+        _, k, v = jnp.split(qkv, 3, axis=-1)
+        lc["local_attention"]["cached_key"] = (
+            lc["local_attention"]["cached_key"]
+            .at[:, :, :p]
+            .set(split_heads(k).astype(lc["local_attention"]["cached_key"].dtype))
+        )
+        lc["local_attention"]["cached_value"] = (
+            lc["local_attention"]["cached_value"]
+            .at[:, :, :p]
+            .set(split_heads(v).astype(lc["local_attention"]["cached_value"].dtype))
+        )
+        lc["local_attention"]["cache_index"] = jnp.asarray(p, jnp.int32)
+
+        ratio = cfg.compression_ratio
+        if cfg.use_sparse_attention and "comp_k" in lc:
+            n_complete = p // ratio
+            if n_complete:
+                means = x[:, : n_complete * ratio].reshape(
+                    b, n_complete, ratio, -1
+                ).mean(axis=2)
+                ck = split_heads(dense(means, lp["compressed_k_proj"]))
+                cv = split_heads(dense(means, lp["compressed_v_proj"]))
+                lc["comp_k"] = lc["comp_k"].at[:, :, :n_complete].set(
+                    ck.astype(lc["comp_k"].dtype)
+                )
+                lc["comp_v"] = lc["comp_v"].at[:, :, :n_complete].set(
+                    cv.astype(lc["comp_v"].dtype)
+                )
+            tail = x[:, n_complete * ratio : p]
+            lc["comp_chunk_sum"] = jnp.sum(
+                tail, axis=1, dtype=jnp.float32
+            )
+
+        if cfg.use_sparse_attention and "topk_scores" in lc:
+            scores = dense(x, lp["importance_scorer"])[..., 0]  # (B, P)
+            lc["topk_scores"] = lc["topk_scores"].at[:, :p].set(
+                scores.astype(jnp.float32)
+            )
+            tk = split_heads(dense(x, lp["topk_k_proj"]))
+            tv = split_heads(dense(x, lp["topk_v_proj"]))
+            lc["topk_k"] = lc["topk_k"].at[:, :, :p].set(
+                tk.astype(lc["topk_k"].dtype)
+            )
+            lc["topk_v"] = lc["topk_v"].at[:, :, :p].set(
+                tv.astype(lc["topk_v"].dtype)
+            )
+
+    return cache, logits[:, -1, :]

@@ -202,3 +202,51 @@ def test_nsa_generate_cached_runs_and_respects_prompt():
     assert out.shape == (2, 14)
     np.testing.assert_array_equal(np.asarray(out[:, :6]), np.asarray(prompt))
     assert (np.asarray(out[:, 6:]) >= 0).all()
+
+
+def test_nsa_prefill_cache_matches_streaming_below_window():
+    """nsa_prefill (one teacher-forced forward) must build EXACTLY the
+    cache that token-by-token streaming builds, whenever the prompt fits
+    inside the local window (the regime where teacher-forced and
+    streaming semantics coincide at every depth). Exercises completed
+    pools (12 tokens / ratio 4 = 3 pools), the chunk-sum tail, top-k
+    buffers, and every counter."""
+    import flax
+    from forde_tpu.models.generate import nsa_prefill
+
+    cfg = tiny_config(max_seq_len=32)
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    ids = jnp.asarray(
+        np.random.RandomState(3).randint(0, cfg.vocab_size, (2, 12)), jnp.int32
+    )
+
+    cache_p, logits_p = nsa_prefill(model, variables, ids)
+
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables["stats_buffer"],
+    }
+    cache_s = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 1), jnp.int32), None, True, True
+    )["cache"]
+    for t in range(12):
+        (logits_s, _), upd = model.apply(
+            {**model_vars, "cache": cache_s},
+            ids[:, t : t + 1], None, True, True,
+            mutable=["cache", "stats_buffer"],
+        )
+        cache_s = upd["cache"]
+
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_s[:, 0]), atol=2e-4, rtol=2e-4
+    )
+    flat_p = flax.traverse_util.flatten_dict(flax.core.unfreeze(cache_p))
+    flat_s = flax.traverse_util.flatten_dict(flax.core.unfreeze(cache_s))
+    assert set(flat_p) == set(flat_s)
+    for k in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[k], np.float32),
+            np.asarray(flat_s[k], np.float32),
+            atol=2e-4, rtol=2e-3, err_msg="/".join(map(str, k)),
+        )
