@@ -1,0 +1,138 @@
+"""Inference CLI for the FORDE decoder LM.
+
+The reference repo is training-only (SURVEY.md §0) — this is the serving
+surface it never had. Loads an Orbax checkpoint written by
+``forde_tpu.train.loop`` (or runs from random init for smoke tests) and
+samples continuations with the KV-cache incremental decoder
+(``models/generate.generate_cached``): parallel prefill for the prompt,
+O(1) attention work per new token, NSA configs included.
+
+Usage:
+  python -m forde_tpu.serve --checkpoint_dir runs/ckpt \\
+      --d_model 512 --num_layers 12 --num_heads 8 \\
+      --prompt "The little GPU that" --max_new_tokens 64 --temperature 0.8
+  # or raw token ids, no tokenizer needed (this image has no egress):
+  python -m forde_tpu.serve --prompt_ids 12,99,407 --max_new_tokens 16
+
+Model-shape flags must match the checkpoint's training flags (the same
+``config_from_args`` derivation rules are reused).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="FORDE decoder LM inference")
+    # model shape (must match training; same flags as train.loop)
+    p.add_argument("--d_model", type=int, default=256)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--num_experts", type=int, default=8)
+    p.add_argument("--top_k_experts", type=int, default=2)
+    p.add_argument("--window_size", type=int, default=128)
+    p.add_argument("--num_streams", type=int, default=2)
+    p.add_argument("--no_moe", action="store_true")
+    p.add_argument("--no_nsa", action="store_true")
+    p.add_argument("--no_mhc", action="store_true")
+    p.add_argument("--seq_len", type=int, default=512)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--moe_dispatch", choices=["dense", "capacity", "ep"],
+                   default="dense")
+    # serving
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="Orbax dir from train.loop; omit for random init")
+    p.add_argument("--prompt", type=str, default=None,
+                   help="text prompt (needs the gpt2 tokenizer cache)")
+    p.add_argument("--prompt_ids", type=str, default=None,
+                   help="comma-separated token ids; bypasses the tokenizer")
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="0 = greedy")
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _tokenizer():
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained("gpt2")
+    except Exception as e:  # no egress / no cache
+        print(f"[serve] gpt2 tokenizer unavailable ({e}); "
+              "use --prompt_ids", file=sys.stderr)
+        return None
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_parser().parse_args(argv)
+    # reuse the training CLI's config derivation so shapes always line up
+    from forde_tpu.models.decoder_lm import FORDEDecoderLM
+    from forde_tpu.models.generate import generate_cached
+    from forde_tpu.train.loop import config_from_args
+    from forde_tpu.train.state import create_train_state
+
+    # config_from_args reads these training-only fields too:
+    args.remat = False
+    args.scan_layers = False  # decode requires unrolled layers
+    config = config_from_args(args)
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(
+        config, rng, learning_rate=1e-4, weight_decay=0.0,
+        init_batch_shape=(1, min(args.seq_len, config.max_seq_len)),
+    )
+    if args.checkpoint_dir:
+        from forde_tpu.train.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.checkpoint_dir, state)
+        print(f"[serve] restored step {int(state.step)} "
+              f"from {args.checkpoint_dir}")
+    else:
+        print("[serve] no --checkpoint_dir: random init (smoke mode)")
+
+    tok = None
+    if args.prompt_ids:
+        ids = np.array(
+            [[int(t) for t in args.prompt_ids.split(",")]], np.int32
+        )
+    elif args.prompt is not None:
+        tok = _tokenizer()
+        if tok is None:
+            sys.exit(2)
+        ids = np.array([tok.encode(args.prompt)], np.int32)
+    else:
+        ids = np.array([[0]], np.int32)
+        print("[serve] no prompt given; starting from token 0")
+    assert ids.shape[1] + args.max_new_tokens <= config.max_seq_len, (
+        "prompt + max_new_tokens exceeds max_seq_len "
+        f"({ids.shape[1]} + {args.max_new_tokens} > {config.max_seq_len})"
+    )
+
+    model = FORDEDecoderLM(config=config)
+    variables = {"params": state.params, "stats_buffer": state.stats_buffer}
+    out = generate_cached(
+        model, variables, jnp.asarray(ids), jax.random.PRNGKey(args.seed),
+        max_new_tokens=args.max_new_tokens, temperature=args.temperature,
+        top_k=args.top_k,
+    )
+    out = np.asarray(out)[0]
+    print("token ids:", out.tolist())
+    if tok is None and args.prompt is None and args.prompt_ids is None:
+        return
+    if tok is None and args.prompt_ids:
+        tok = _tokenizer()
+    if tok is not None:
+        print("text:", tok.decode(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,10 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(directory, options=options)
 
     def save(self, step: int, state: TrainState, force: bool = False) -> bool:
+        if step in (self._mgr.all_steps() or []):
+            # final force-save often coincides with an interval save;
+            # orbax raises StepAlreadyExistsError rather than no-op
+            return False
         return self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
