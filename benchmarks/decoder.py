@@ -44,6 +44,11 @@ def bench(dispatch: str, batch: int = 8, seq: int = 2048, steps: int = 10):
         sinkhorn_iterations=5,
         dropout_rate=0.0,
         moe_dispatch=dispatch,
+        # long-context runs (DECODER_SEQ > 2048) need scanned layers +
+        # remat: the unrolled 12-layer compile and the per-layer
+        # activations both blow up with S.
+        scan_layers=seq > 2048,
+        remat=seq > 2048,
         dtypes=DTypePolicy.bf16(),
     )
     state = create_train_state(
@@ -70,10 +75,12 @@ def bench(dispatch: str, batch: int = 8, seq: int = 2048, steps: int = 10):
 
 
 def main():
+    seq = int(os.environ.get("DECODER_SEQ", "2048"))
+    batch = int(os.environ.get("DECODER_BATCH", "8"))
     results = {}
     for dispatch in ("dense", "capacity"):
         results[f"decoder_tokens_per_sec_per_chip_{dispatch}"] = round(
-            bench(dispatch), 1
+            bench(dispatch, batch=batch, seq=seq), 1
         )
     print(json.dumps(results))
 

@@ -389,6 +389,317 @@ def _bwd_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Streaming long-context kernels (S > LONG_SEQ_THRESHOLD)
+# ---------------------------------------------------------------------------
+#
+# The kernels above keep full-S arrays resident in VMEM (K/V in the
+# forward, q/do in dk/dv) — the fast layout up to S=4096, but ~20MB of
+# scoped vmem at S=8192 (hard 16MB limit). These variants stream instead:
+# the grid gains an inner axis over the relevant opposite-side blocks, the
+# online-softmax / gradient accumulators live in VMEM scratch across that
+# axis, and for the sliding-window case the BlockSpec index map walks only
+# the ~window/block blocks each row block can touch (block-sparse DMA, not
+# just block-sparse compute). No full-S array ever sits in VMEM, so S is
+# unbounded. kv_len is not supported here (that path is short-S only).
+
+LONG_SEQ_THRESHOLD = 4096
+
+
+def _stream_span(window, causal, block_q, block_k, n_kblocks):
+    """Inner-axis length + k-block index base for a q block."""
+    if window is not None:
+        n_w = (window + block_q) // block_k + 1
+
+        def base(qi):  # first k block the q block can touch
+            return jnp.maximum(
+                0, jax.lax.div(qi * block_q - window + 1, block_k)
+            )
+
+        return n_w, base
+    # causal-full / unmasked: dense inner axis from block 0
+    return n_kblocks, lambda qi: 0
+
+
+def _fwd_stream_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
+    *, scale, block_q, block_k, window, causal, n_kblocks, n_w,
+):
+    qi, wi = pl.program_id(2), pl.program_id(3)
+    q_start = qi * block_q
+    _, base = _stream_span(window, causal, block_q, block_k, n_kblocks)
+    ki = base(qi) + wi
+
+    @pl.when(wi == 0)
+    def _():
+        m_sc[...] = jnp.full_like(m_sc, MASK_VALUE)
+        l_sc[...] = jnp.zeros_like(l_sc)
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
+    if causal:
+        j_end = jax.lax.div(q_start + block_q - 1, block_k) + 1
+    else:
+        j_end = n_kblocks
+    active = (ki < j_end) & (ki < n_kblocks)
+
+    @pl.when(active)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = _dot(q, k, ((1,), (1,))) * scale
+        diff = (
+            q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        ) - (ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+        mask = jnp.ones_like(s, dtype=jnp.bool_)
+        if causal:
+            mask = mask & (diff >= 0)
+        if window is not None:
+            mask = mask & (diff < window)
+        s = jnp.where(mask, s, MASK_VALUE)
+        m_prev, l_prev, acc = m_sc[...], l_sc[...], acc_sc[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        m_sc[...] = m_new
+        l_sc[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_sc[...] = acc * alpha + _dot(p.astype(v.dtype), v, ((1,), (0,)))
+
+    @pl.when(wi == n_w - 1)
+    def _():
+        l = l_sc[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_sc[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_sc[...] + jnp.log(l_safe)
+
+
+def _bwd_dq_stream_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_sc,
+    *, scale, block_q, block_k, window, causal, n_kblocks, n_w,
+):
+    qi, wi = pl.program_id(2), pl.program_id(3)
+    q_start = qi * block_q
+    _, base = _stream_span(window, causal, block_q, block_k, n_kblocks)
+    ki = base(qi) + wi
+
+    @pl.when(wi == 0)
+    def _():
+        dq_sc[...] = jnp.zeros_like(dq_sc)
+
+    if causal:
+        j_end = jax.lax.div(q_start + block_q - 1, block_k) + 1
+    else:
+        j_end = n_kblocks
+    active = (ki < j_end) & (ki < n_kblocks)
+
+    @pl.when(active)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        s = _dot(q, k, ((1,), (1,))) * scale
+        p = jnp.exp(s - lse)
+        diff = (
+            q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        ) - (ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+        mask = jnp.ones_like(s, dtype=jnp.bool_)
+        if causal:
+            mask = mask & (diff >= 0)
+        if window is not None:
+            mask = mask & (diff < window)
+        p = jnp.where(mask, p, 0.0)
+        dp = _dot(do, v, ((1,), (1,)))
+        ds = p * (dp - delta) * scale
+        dq_sc[...] = dq_sc[...] + _dot(ds.astype(k.dtype), k, ((1,), (0,)))
+
+    @pl.when(wi == n_w - 1)
+    def _():
+        dq_ref[0, 0] = dq_sc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_stream_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_sc, dv_sc,
+    *, scale, block_q, block_k, window, causal, n_qblocks, n_wq,
+):
+    ki, wi = pl.program_id(2), pl.program_id(3)
+    k_start = ki * block_k
+    qi = jax.lax.div(k_start, block_q) + wi  # causal: q starts at the diagonal
+
+    @pl.when(wi == 0)
+    def _():
+        dk_sc[...] = jnp.zeros_like(dk_sc)
+        dv_sc[...] = jnp.zeros_like(dv_sc)
+
+    if window is not None:
+        i_end = jnp.minimum(
+            n_qblocks,
+            jax.lax.div(k_start + block_k - 1 + window - 1, block_q) + 1,
+        )
+    else:
+        i_end = n_qblocks
+    active = (qi < i_end) & (qi < n_qblocks)
+
+    @pl.when(active)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        s = _dot(q, k, ((1,), (1,))) * scale
+        p = jnp.exp(s - lse)
+        diff = (
+            qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        ) - (k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+        mask = jnp.ones_like(s, dtype=jnp.bool_)
+        if causal:
+            mask = mask & (diff >= 0)
+        if window is not None:
+            mask = mask & (diff < window)
+        p = jnp.where(mask, p, 0.0)
+        dv_sc[...] = dv_sc[...] + _dot(p.astype(do.dtype), do, ((0,), (0,)))
+        dp = _dot(do, v, ((1,), (1,)))
+        ds = p * (dp - delta) * scale
+        dk_sc[...] = dk_sc[...] + _dot(ds.astype(q.dtype), q, ((0,), (0,)))
+
+    @pl.when(wi == n_wq - 1)
+    def _():
+        dk_ref[0, 0] = dk_sc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_sc[...].astype(dv_ref.dtype)
+
+
+def _clip_block(idx, n_blocks):
+    return jnp.clip(idx, 0, n_blocks - 1)
+
+
+def _fwd_stream_pallas(
+    q, k, v, scale, window, causal, block_q, block_k, interpret
+):
+    b, h, s, d = q.shape
+    n_q, n_k = s // block_q, s // block_k
+    n_w, base = _stream_span(window, causal, block_q, block_k, n_k)
+
+    def kmap(bi, hi, qi, wi):
+        return (bi, hi, _clip_block(base(qi) + wi, n_k), 0)
+
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_stream_kernel, scale=scale, block_q=block_q,
+            block_k=block_k, window=window, causal=causal, n_kblocks=n_k,
+            n_w=n_w,
+        ),
+        grid=(b, h, n_q, n_w),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, wi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kmap),
+            pl.BlockSpec((1, 1, block_k, d), kmap),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, wi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, wi: (bi, hi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+def _bwd_stream_pallas(
+    q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret
+):
+    b, h, s, d = q.shape
+    n_q, n_k = s // block_q, s // block_k
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    n_w, base = _stream_span(window, causal, block_q, block_k, n_k)
+
+    def kmap(bi, hi, qi, wi):
+        return (bi, hi, _clip_block(base(qi) + wi, n_k), 0)
+
+    qspec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, wi: (bi, hi, qi, 0))
+    qvec = pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, wi: (bi, hi, qi, 0))
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_stream_kernel, scale=scale, block_q=block_q,
+            block_k=block_k, window=window, causal=causal, n_kblocks=n_k,
+            n_w=n_w,
+        ),
+        grid=(b, h, n_q, n_w),
+        in_specs=[
+            qspec,
+            pl.BlockSpec((1, 1, block_k, d), kmap),
+            pl.BlockSpec((1, 1, block_k, d), kmap),
+            qspec,
+            qvec,
+            qvec,
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    # q blocks a k block can touch: starts at the diagonal (causal), spans
+    # the window (or everything above the diagonal for causal-full).
+    if window is not None:
+        n_wq = (window + block_k) // block_q + 1
+    else:
+        n_wq = n_q
+
+    def qmap(bi, hi, ki, wi):
+        return (
+            bi, hi,
+            _clip_block(jax.lax.div(ki * block_k, block_q) + wi, n_q), 0,
+        )
+
+    def qvmap(bi, hi, ki, wi):
+        return qmap(bi, hi, ki, wi)
+
+    kspec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, wi: (bi, hi, ki, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_stream_kernel, scale=scale, block_q=block_q,
+            block_k=block_k, window=window, causal=causal, n_qblocks=n_q,
+            n_wq=n_wq,
+        ),
+        grid=(b, h, n_k, n_wq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), qmap),
+            kspec,
+            kspec,
+            pl.BlockSpec((1, 1, block_q, d), qmap),
+            pl.BlockSpec((1, 1, block_q, 1), qvmap),
+            pl.BlockSpec((1, 1, block_q, 1), qvmap),
+        ],
+        out_specs=[kspec, kspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper with padding
 # ---------------------------------------------------------------------------
 
@@ -397,25 +708,43 @@ def _bwd_pallas(
 def _flash_attention_padded(
     q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
 ):
-    o, _ = _fwd_pallas(
+    return _flash_fwd(
         q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
-    )
-    return o
+    )[0]
+
+
+def _use_streaming(s, causal, kv_len):
+    # Resident kernels hold full-S arrays in VMEM — past the threshold
+    # they exceed the 16MB scoped limit; the streaming kernels are
+    # unbounded in S (causal configs only; non-causal 4D calls are
+    # short-S fallbacks).
+    return s > LONG_SEQ_THRESHOLD and causal and kv_len is None
 
 
 def _flash_fwd(q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len):
-    o, lse = _fwd_pallas(
-        q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
-    )
+    if _use_streaming(q.shape[2], causal, kv_len):
+        o, lse = _fwd_stream_pallas(
+            q, k, v, scale, window, causal, block_q, block_k, interpret
+        )
+    else:
+        o, lse = _fwd_pallas(
+            q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
+        )
     return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(scale, window, causal, block_q, block_k, interpret, kv_len, res, do):
     q, k, v, o, lse = res
-    dq, dk, dv = _bwd_pallas(
-        q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret,
-        kv_len,
-    )
+    if _use_streaming(q.shape[2], causal, kv_len):
+        dq, dk, dv = _bwd_stream_pallas(
+            q, k, v, o, lse, do, scale, window, causal, block_q, block_k,
+            interpret,
+        )
+    else:
+        dq, dk, dv = _bwd_pallas(
+            q, k, v, o, lse, do, scale, window, causal, block_q, block_k,
+            interpret, kv_len,
+        )
     return dq, dk, dv
 
 
@@ -461,6 +790,10 @@ def flash_attention(
     scale = float(scale)
 
     default_block = 512 if s >= 1024 else DEFAULT_BLOCK_Q
+    if s > LONG_SEQ_THRESHOLD:
+        # streaming kernels (no full-S residents); 256 keeps their fp32
+        # (block, block) temporaries + scratch comfortably in VMEM.
+        default_block = 256
     block_q = block_q or default_block
     block_k = block_k or default_block
     if s <= 512:

@@ -75,3 +75,32 @@ def test_flash_backward_matches_reference(window):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gr), atol=2e-4, err_msg=f"d{name}"
         )
+
+
+def test_streaming_long_context_kernels_match_reference(monkeypatch):
+    """The streaming (S > LONG_SEQ_THRESHOLD) kernels — scratch-carried
+    online softmax, window-relative block maps, no full-S VMEM residents —
+    must match the masked reference exactly like the resident kernels."""
+    from forde_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "LONG_SEQ_THRESHOLD", 256)
+    for causal, window in [(True, 128), (True, None)]:
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, 2, 512, 64), jnp.float32)
+        k = jax.random.normal(kk, (2, 2, 512, 64), jnp.float32)
+        v = jax.random.normal(kv, (2, 2, 512, 64), jnp.float32)
+
+        def f(q, k, v, impl):
+            o = fa.flash_attention(
+                q, k, v, causal=causal, window_size=window, impl=impl,
+                block_q=128, block_k=128,
+            )
+            return jnp.sum(o**2)
+
+        g1 = jax.grad(lambda *a: f(*a, "interpret"), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda *a: f(*a, "reference"), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+            )
