@@ -1,15 +1,16 @@
 """Autoregressive sampling for the decoder LM.
 
 The reference has no inference path at all (SURVEY.md: training-only).
-This provides greedy / temperature / top-k sampling under one jit:
-a ``lax.scan`` over decode steps with a statically-shaped token buffer.
+Two samplers, both greedy / temperature / top-k under one jit:
 
-Each step re-runs the full forward on the (padded) buffer — correct for
-every architecture flag (NSA's global top-k selection may spend slots on
-not-yet-generated positions, but its index-based causal mask guarantees no
-future leakage, matching reference semantics sparse_attention.py:469-472).
-An incremental KV-cache decode path is a planned optimization; this one is
-O(n) forwards and works unchanged for MoE/NSA/mHC combinations.
+* ``generate`` — full recompute each step over the (padded) buffer.
+  Correct for every architecture flag; NSA's global top-k selection may
+  spend slots on not-yet-generated positions, but its index-based causal
+  mask guarantees no future leakage (sparse_attention.py:469-472).
+* ``generate_cached`` — the production path: parallel prefill + O(1)
+  incremental attention per new token for every config including NSA
+  (streaming branch caches; see nn/attention.NativeSparseAttention).
+  ``nsa_prefill`` builds the NSA caches from one teacher-forced forward.
 """
 
 from __future__ import annotations
