@@ -330,12 +330,17 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_pallas(
-    q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret, kv_len
+    q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret,
+    kv_len, dlse=None,
 ):
     b, h, s, d = q.shape
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )  # (B, H, S, 1)
+    if dlse is not None:
+        # lse cotangent: dL/ds_ij gains + dlse_i * p_ij (d lse/d s = p),
+        # which folds into the kernels' ds = p*(dp - delta) as delta-dlse.
+        delta = delta - dlse.astype(jnp.float32)
 
     full_spec = pl.BlockSpec((1, 1, s, d), lambda bi, hi, xi: (bi, hi, 0, 0))
     full_vec = pl.BlockSpec((1, 1, s, 1), lambda bi, hi, xi: (bi, hi, 0, 0))
@@ -618,13 +623,16 @@ def _fwd_stream_pallas(
 
 
 def _bwd_stream_pallas(
-    q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret
+    q, k, v, o, lse, do, scale, window, causal, block_q, block_k, interpret,
+    dlse=None,
 ):
     b, h, s, d = q.shape
     n_q, n_k = s // block_q, s // block_k
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)  # see _bwd_pallas
     n_w, base = _stream_span(window, causal, block_q, block_k, n_k)
 
     def kmap(bi, hi, qi, wi):
@@ -749,6 +757,111 @@ def _flash_bwd(scale, window, causal, block_q, block_k, interpret, kv_len, res, 
 
 
 _flash_attention_padded.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_attention_lse_padded(
+    q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
+):
+    o, (_, _, _, _, lse) = _flash_fwd(
+        q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
+    )
+    return o, lse
+
+
+def _flash_lse_fwd(
+    q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
+):
+    o, res = _flash_fwd(
+        q, k, v, scale, window, causal, block_q, block_k, interpret, kv_len
+    )
+    return (o, res[4]), res
+
+
+def _flash_lse_bwd(
+    scale, window, causal, block_q, block_k, interpret, kv_len, res, cts
+):
+    do, dlse = cts
+    q, k, v, o, lse = res
+    if _use_streaming(q.shape[2], causal, kv_len):
+        return _bwd_stream_pallas(
+            q, k, v, o, lse, do, scale, window, causal, block_q, block_k,
+            interpret, dlse=dlse,
+        )
+    return _bwd_pallas(
+        q, k, v, o, lse, do, scale, window, causal, block_q, block_k,
+        interpret, kv_len, dlse=dlse,
+    )
+
+
+_flash_attention_lse_padded.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+):
+    """Flash attention returning ``(o, lse)`` with lse differentiable —
+    the building block for cross-device softmax merging (ring attention):
+    partial results over disjoint key sets combine exactly via
+
+        m = max(lse_a, lse_b); w = exp(lse_x - m)
+        o = (o_a*w_a + o_b*w_b)/(w_a+w_b); lse = m + log(w_a+w_b)
+
+    and the lse cotangent folds into the existing backward kernels as a
+    delta adjustment (dL/ds += dlse * p). Fully-masked rows carry
+    lse ~ -1e30 and thus vanish from any merge. Requires 8-aligned S
+    (no padding path — shards are produced aligned)."""
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = 1.0 / float(d) ** 0.5
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if impl != "reference":
+        # kernels need 8-aligned S and lane-aligned D; ring shards are
+        # produced aligned, other shapes use the jnp path
+        if s % 8 or d not in (64, 128):
+            impl = "reference"
+    if impl == "reference":
+        sc = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if causal:
+            pos = jnp.arange(s)
+            sc = jnp.where(
+                (pos[:, None] >= pos[None, :])[None, None], sc, MASK_VALUE
+            )
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", (p / l).astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+        return o, m + jnp.log(l)
+    default_block = 512 if s >= 1024 else DEFAULT_BLOCK_Q
+    if s > LONG_SEQ_THRESHOLD:
+        default_block = 256
+
+    def _fit(blk):
+        blk = min(blk, s)
+        while s % blk:
+            blk -= 8
+        return blk
+
+    block_q = _fit(block_q or default_block)
+    block_k = _fit(block_k or default_block)
+    return _flash_attention_lse_padded(
+        q, k, v, float(scale), None, causal, block_q, block_k,
+        impl == "interpret", None,
+    )
 
 
 def flash_attention(

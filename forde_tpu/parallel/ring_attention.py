@@ -8,13 +8,12 @@ its Q shard permanently, and K/V shards rotate around the ring via
 contributions — full attention over the global sequence with per-device
 memory O(S_global / n_devices).
 
-Round-1 implementation notes:
-  * the per-block attention is blockwise jnp math in fp32 (the Pallas
-    flash kernel handles the single-chip case; fusing it into the ring
-    body is a planned optimization);
-  * causal masking is handled by block offset: blocks entirely in the
-    future are computed-and-masked rather than skipped (a zigzag schedule
-    that balances causal work across the ring is a known follow-up).
+Round-2: each per-shard block attention runs on the Pallas flash
+kernels (bf16 MXU operands, scores never materialized) and partials
+merge via differentiable log-sum-exp (flash_attention_with_lse — the
+lse cotangent folds into the kernels' backward as a delta shift).
+Future shards are computed-and-killed in the merge; a zigzag schedule
+balancing causal work across the ring remains a known follow-up.
 """
 
 from __future__ import annotations
@@ -31,64 +30,50 @@ from forde_tpu.core.mesh import AXIS_CONTEXT, AXIS_DATA
 NEG_INF = -1e30
 
 
-def _block_attention_merge(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    q_offset: jnp.ndarray,
-    k_offset: jnp.ndarray,
-    state: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
-    scale: float,
-    causal: bool,
-):
-    """Merge one KV block into the online-softmax state (m, l, acc)."""
-    m_prev, l_prev, acc = state
-    s = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    if causal:
-        sq, sk = q.shape[2], k.shape[2]
-        q_pos = q_offset + jnp.arange(sq)[:, None]
-        k_pos = k_offset + jnp.arange(sk)[None, :]
-        s = jnp.where((q_pos >= k_pos)[None, None], s, NEG_INF)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_new = acc * alpha + jnp.einsum(
-        "bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    return m_new, l_new, acc_new
+def _merge_lse(o_acc, lse_acc, o_b, lse_b):
+    """Exact softmax merge of two partial attentions over disjoint keys."""
+    m = jnp.maximum(lse_acc, lse_b)
+    w_a = jnp.exp(lse_acc - m)
+    w_b = jnp.exp(lse_b - m)
+    denom = w_a + w_b
+    o = (o_acc * w_a + o_b.astype(jnp.float32) * w_b) / denom
+    return o, m + jnp.log(denom)
 
 
 def _ring_body(q, k, v, *, axis_name: str, num_shards: int, scale, causal):
-    """Per-shard body: local Q vs rotating K/V shards."""
-    idx = jax.lax.axis_index(axis_name)
-    b, h, s_loc, d = q.shape
-    qf = q.astype(jnp.float32)
-    q_offset = idx * s_loc
+    """Per-shard body: local Q vs rotating K/V shards.
 
-    m = jnp.full((b, h, s_loc, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((b, h, s_loc, 1), jnp.float32)
-    acc = jnp.zeros((b, h, s_loc, d), jnp.float32)
-    state = (m, l, acc)
+    Each shard's block attention runs on the flash kernels
+    (``flash_attention_with_lse`` — bf16 MXU operands, no materialized
+    scores) and partial results merge via log-sum-exp. Ring step 0 is
+    always the diagonal shard (local-causal); step >= 1 shards are
+    entirely past (plain attention) or entirely future (killed in the
+    merge by lse = -inf). The lse cotangent flows through the kernels'
+    backward as a delta adjustment, so the whole ring is differentiable.
+    """
+    from forde_tpu.ops.flash_attention import flash_attention_with_lse
+
+    idx = jax.lax.axis_index(axis_name)
+
+    # step 0: the K/V still at home == this shard's own block (diagonal).
+    o_acc, lse_acc = flash_attention_with_lse(q, k, v, causal=causal,
+                                              scale=scale)
+    o_acc = o_acc.astype(jnp.float32)
 
     perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
-    for step in range(num_shards):
+    for step in range(1, num_shards):
+        k = jax.lax.ppermute(k, axis_name, perm)
+        v = jax.lax.ppermute(v, axis_name, perm)
         src = (idx - step) % num_shards  # global block these K/V came from
-        state = _block_attention_merge(
-            qf, k.astype(jnp.float32), v.astype(jnp.float32),
-            q_offset, src * s_loc, state, scale, causal,
-        )
-        if step + 1 < num_shards:
-            k = jax.lax.ppermute(k, axis_name, perm)
-            v = jax.lax.ppermute(v, axis_name, perm)
+        o_b, lse_b = flash_attention_with_lse(q, k, v, causal=False,
+                                              scale=scale)
+        if causal:
+            # future shards contribute nothing: kill them in the merge
+            is_past = (src < idx)[None, None, None, None]
+            lse_b = jnp.where(is_past, lse_b, NEG_INF)
+        o_acc, lse_acc = _merge_lse(o_acc, lse_acc, o_b, lse_b)
 
-    m, l, acc = state
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    return (acc / l_safe).astype(q.dtype)
+    return o_acc.astype(q.dtype)
 
 
 def ring_attention(
