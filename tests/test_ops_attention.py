@@ -104,3 +104,53 @@ def test_streaming_long_context_kernels_match_reference(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
             )
+
+
+def test_flash_lse_merge_invariant():
+    """(o, lse) over two disjoint key halves merge exactly into full
+    attention — the invariant ring attention is built on — and the lse
+    cotangent path differentiates correctly (vs autodiff of the jnp
+    composition)."""
+    from forde_tpu.ops.flash_attention import flash_attention_with_lse
+
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 2, 64, 64), jnp.float32)
+    k = jax.random.normal(kk, (2, 2, 128, 64), jnp.float32)
+    v = jax.random.normal(kv, (2, 2, 128, 64), jnp.float32)
+
+    def merged(q, k, v, impl):
+        o1, l1 = flash_attention_with_lse(
+            q, k[:, :, :64], v[:, :, :64], causal=False, impl=impl
+        )
+        o2, l2 = flash_attention_with_lse(
+            q, k[:, :, 64:], v[:, :, 64:], causal=False, impl=impl
+        )
+        m = jnp.maximum(l1, l2)
+        w1, w2 = jnp.exp(l1 - m), jnp.exp(l2 - m)
+        return (o1.astype(jnp.float32) * w1 + o2.astype(jnp.float32) * w2) / (
+            w1 + w2
+        )
+
+    from forde_tpu.ops import attention_ref
+
+    full = attention_ref.mha_reference(q, k, v)
+    for impl in ("reference", "interpret"):
+        np.testing.assert_allclose(
+            np.asarray(merged(q, k, v, impl)), np.asarray(full),
+            atol=2e-5, rtol=2e-5,
+        )
+
+    # gradient through the merge (exercises the lse cotangent)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(merged(q, k, v, "reference") ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_ker = jax.grad(
+        lambda q, k, v: jnp.sum(merged(q, k, v, "interpret") ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_ker, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+        )
