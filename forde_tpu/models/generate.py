@@ -113,7 +113,7 @@ def generate_cached(
     coincide; see nn/attention.NativeSparseAttention._decode_step).
     """
     if model.config.use_sparse_attention:
-        return _generate_cached_stepwise(
+        return _generate_cached_nsa(
             model, variables, prompt_ids, key, max_new_tokens, temperature,
             top_k,
         )
@@ -173,11 +173,11 @@ def generate_cached(
     return ids
 
 
-def _generate_cached_stepwise(
+def _generate_cached_nsa(
     model, variables, prompt_ids, key, max_new_tokens, temperature, top_k
 ):
     """NSA cached decoding: parallel teacher-forced prefill (one forward,
-    ``nsa_prefill``) then streaming single-token steps for new tokens."""
+    nsa_prefill) then streaming single-token steps for new tokens."""
     b, p = prompt_ids.shape
     model_vars = {
         "params": variables["params"],

@@ -19,7 +19,6 @@ balancing causal work across the ring remains a known follow-up.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
