@@ -320,3 +320,99 @@ def nsa_prefill(model, variables, prompt_ids):
             )
 
     return cache, logits[:, -1, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "max_new_tokens", "beam_size")
+)
+def generate_beam(
+    model: FORDEDecoderLM,
+    variables,
+    prompt_ids: jnp.ndarray,
+    max_new_tokens: int = 32,
+    beam_size: int = 4,
+    length_penalty: float = 0.0,
+) -> jnp.ndarray:
+    """Beam search over the cached decoder (another capability the
+    training-only reference lacks). Standard KV-cache beam search: the
+    prompt is prefilled once per beam, then each step expands every beam
+    by the vocab, keeps the global top ``beam_size`` continuations, and
+    reorders every cache leaf along the beam axis to follow the
+    surviving hypotheses. Returns the best beam, (B, P + max_new_tokens).
+
+    ``length_penalty``: scores are sum(logprob) / (length ** penalty)
+    at the end (0 = pure sum). No EOS handling — fixed-length decoding,
+    matching the samplers above.
+    """
+    if model.config.scan_layers:
+        raise ValueError("beam search requires scan_layers=False")
+    b, p = prompt_ids.shape
+    k = beam_size
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+
+    # Prefill each batch row once, then tile the cache across beams.
+    if model.config.use_sparse_attention:
+        cache, last_logits = nsa_prefill(model, variables, prompt_ids)
+    else:
+        cache = model.init(
+            jax.random.PRNGKey(0), prompt_ids, None, True, True
+        )["cache"]
+        (logits, _), updated = model.apply(
+            {**model_vars, "cache": cache}, prompt_ids, None, True, True,
+            mutable=["cache", "stats_buffer"],
+        )
+        cache, last_logits = updated["cache"], logits[:, -1, :]
+
+    def tile_beams(x):
+        if x.ndim == 0:
+            return x  # shared position counters
+        return jnp.repeat(x, k, axis=0)  # (B*k, ...) beam-major per row
+
+    cache = jax.tree.map(tile_beams, cache)
+    logprobs0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
+    vocab = logprobs0.shape[-1]
+    # first expansion: top-k tokens of each row seed the beams
+    top_lp, top_tok = jax.lax.top_k(logprobs0, k)  # (B, k)
+    scores = top_lp.reshape(b * k)
+    ids = jnp.zeros((b * k, p + max_new_tokens), jnp.int32)
+    ids = ids.at[:, :p].set(jnp.repeat(prompt_ids, k, axis=0))
+    ids = ids.at[:, p].set(top_tok.reshape(b * k))
+
+    def step(carry, _):
+        ids, cache, scores, cur, token = carry
+        (logits, _), updated = model.apply(
+            {**model_vars, "cache": cache}, token[:, None], None, True, True,
+            mutable=["cache", "stats_buffer"],
+        )
+        cache = updated["cache"]
+        lp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+        # (B, k*V) candidate scores; global top-k per batch row
+        cand = (scores[:, None] + lp).reshape(b, k * vocab)
+        new_scores, flat_idx = jax.lax.top_k(cand, k)  # (B, k)
+        src_beam = flat_idx // vocab  # (B, k) origin beam per survivor
+        new_tok = (flat_idx % vocab).reshape(b * k)
+        gather_rows = (
+            jnp.arange(b)[:, None] * k + src_beam
+        ).reshape(b * k)  # rows into the (B*k, ...) beam-major arrays
+
+        ids = ids[gather_rows]
+        ids = jax.vmap(lambda row, t: row.at[cur].set(t))(ids, new_tok)
+        cache = jax.tree.map(
+            lambda x: x if x.ndim == 0 else x[gather_rows], cache
+        )
+        return (ids, cache, new_scores.reshape(b * k), cur + 1, new_tok), None
+
+    (ids, _, scores, _, _), _ = jax.lax.scan(
+        step,
+        (ids, cache, scores, jnp.array(p + 1, jnp.int32),
+         top_tok.reshape(b * k)),
+        None,
+        length=max_new_tokens - 1,
+    )
+    if length_penalty:
+        scores = scores / (float(max_new_tokens) ** length_penalty)
+    best = jnp.argmax(scores.reshape(b, k), axis=-1)  # (B,)
+    return ids.reshape(b, k, -1)[jnp.arange(b), best]

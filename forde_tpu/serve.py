@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=1.0,
                    help="0 = greedy")
     p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--beam_size", type=int, default=0,
+                   help="> 1 switches to beam search (overrides sampling)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -119,11 +121,19 @@ def main(argv: Optional[list] = None) -> None:
 
     model = FORDEDecoderLM(config=config)
     variables = {"params": state.params, "stats_buffer": state.stats_buffer}
-    out = generate_cached(
-        model, variables, jnp.asarray(ids), jax.random.PRNGKey(args.seed),
-        max_new_tokens=args.max_new_tokens, temperature=args.temperature,
-        top_k=args.top_k,
-    )
+    if args.beam_size > 1:
+        from forde_tpu.models.generate import generate_beam
+
+        out = generate_beam(
+            model, variables, jnp.asarray(ids),
+            max_new_tokens=args.max_new_tokens, beam_size=args.beam_size,
+        )
+    else:
+        out = generate_cached(
+            model, variables, jnp.asarray(ids), jax.random.PRNGKey(args.seed),
+            max_new_tokens=args.max_new_tokens, temperature=args.temperature,
+            top_k=args.top_k,
+        )
     out = np.asarray(out)[0]
     print("token ids:", out.tolist())
     if tok is None and args.prompt is None and args.prompt_ids is None:

@@ -250,3 +250,55 @@ def test_nsa_prefill_cache_matches_streaming_below_window():
             np.asarray(flat_s[k], np.float32),
             atol=2e-4, rtol=2e-3, err_msg="/".join(map(str, k)),
         )
+
+
+def test_beam_search_beats_or_matches_greedy_and_respects_prompt():
+    """beam_size=1 == greedy cached decode; beam_size=4's best-path score
+    must be >= the greedy path's score under the same model."""
+    from forde_tpu.models.generate import generate_beam, generate_cached
+
+    cfg = tiny_config(max_seq_len=32, use_sparse_attention=False)
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    prompt = jnp.asarray(
+        np.random.RandomState(9).randint(0, cfg.vocab_size, (2, 5)), jnp.int32
+    )
+    greedy = generate_cached(
+        model, variables, prompt, jax.random.PRNGKey(0), max_new_tokens=6,
+        temperature=0,
+    )
+    beam1 = generate_beam(model, variables, prompt, max_new_tokens=6,
+                          beam_size=1)
+    np.testing.assert_array_equal(np.asarray(beam1), np.asarray(greedy))
+
+    beam4 = generate_beam(model, variables, prompt, max_new_tokens=6,
+                          beam_size=4)
+    assert beam4.shape == (2, 11)
+    np.testing.assert_array_equal(np.asarray(beam4[:, :5]), np.asarray(prompt))
+
+    def seq_logprob(ids):
+        (logits, _), _ = model.apply(
+            variables, ids[:, :-1], mutable=["stats_buffer"]
+        )
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = ids[:, 1:]
+        tok_lp = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        return tok_lp[:, 4:].sum(axis=-1)  # only generated positions
+
+    s_greedy = np.asarray(seq_logprob(greedy))
+    s_beam = np.asarray(seq_logprob(beam4))
+    assert (s_beam >= s_greedy - 1e-4).all(), (s_beam, s_greedy)
+
+
+def test_beam_search_nsa_config_runs():
+    from forde_tpu.models.generate import generate_beam
+
+    cfg = tiny_config(max_seq_len=32)  # NSA on
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    prompt = jnp.asarray(
+        np.random.RandomState(4).randint(0, cfg.vocab_size, (1, 4)), jnp.int32
+    )
+    out = generate_beam(model, variables, prompt, max_new_tokens=4, beam_size=2)
+    assert out.shape == (1, 8)
+    np.testing.assert_array_equal(np.asarray(out[:, :4]), np.asarray(prompt))
