@@ -80,6 +80,7 @@ class DecoderBlock(nn.Module):
                 impl=cfg.attention_impl,
                 dtype=dtype,
                 max_decode_len=cfg.max_seq_len,
+                mesh=self.mesh,
                 name="sparse_attention",
             )(attn_input, mask, decode=decode)
         else:
@@ -154,19 +155,23 @@ class _ScanBlockBody(nn.Module):
     """nn.scan adapter: carry = (x, streams); per-layer output = aux loss.
 
     Masks are not threaded through the scanned path (the training driver
-    never passes one, matching reference usage).
+    never passes one, matching reference usage). ``decode=True`` threads
+    the KV-cache path through the scan — the cache collection carries a
+    leading (L,) axis (variable_axes in FORDEDecoderLM), so serving
+    compiles ONE block instead of num_layers unrolled copies.
     """
 
     config: LLMConfig
     deterministic: bool = True
     mesh: Optional[Mesh] = None
+    decode: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         x, streams = carry
         x, streams, aux = DecoderBlock(
             config=self.config, mesh=self.mesh, name="block"
-        )(x, streams, None, self.deterministic)
+        )(x, streams, None, self.deterministic, self.decode)
         return (x, streams), aux
 
 
@@ -190,12 +195,6 @@ class FORDEDecoderLM(nn.Module):
         cfg = self.config
         dtype = cfg.dtypes.compute
         b, s = input_ids.shape
-        if decode and cfg.scan_layers:
-            raise ValueError(
-                "KV-cache decode requires scan_layers=False (scan carries "
-                "no per-layer cache); NSA configs ARE supported — see "
-                "nn/attention.NativeSparseAttention._decode_step"
-            )
 
         token_embedding = nn.Embed(
             num_embeddings=cfg.vocab_size,
@@ -248,13 +247,21 @@ class FORDEDecoderLM(nn.Module):
                 )
             scan_cls = nn.scan(
                 body_cls,
-                variable_axes={"params": 0, "stats_buffer": 0},
+                # cache + intermediates also gain the (L,) axis, so the
+                # KV-cache decode path (and nsa_prefill's capture) work
+                # under scan — serving compiles one block, not L copies.
+                variable_axes={
+                    "params": 0,
+                    "stats_buffer": 0,
+                    "cache": 0,
+                    "intermediates": 0,
+                },
                 split_rngs={"params": True},
                 length=cfg.num_layers,
             )
             (x, streams), aux_stack = scan_cls(
                 config=cfg, deterministic=deterministic, mesh=self.mesh,
-                name="layers",
+                decode=decode, name="layers",
             )((x, streams), None)
             total_aux_loss = total_aux_loss + jnp.sum(aux_stack)
         else:

@@ -27,7 +27,9 @@ from forde_tpu.models.decoder_lm import FORDEDecoderLM
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "max_new_tokens", "temperature", "top_k"),
+    static_argnames=(
+        "model", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id",
+    ),
 )
 def generate(
     model: FORDEDecoderLM,
@@ -37,18 +39,21 @@ def generate(
     max_new_tokens: int = 32,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
 ) -> jnp.ndarray:
     """Sample ``max_new_tokens`` continuations of ``prompt_ids`` (B, P).
 
     ``temperature == 0`` -> greedy argmax. ``top_k`` restricts sampling to
-    the k most likely tokens. Returns (B, P + max_new_tokens).
+    the k most likely tokens. ``eos_id``: rows that emit it are finished —
+    every later position is ``pad_id``. Returns (B, P + max_new_tokens).
     """
     b, p = prompt_ids.shape
     total = p + max_new_tokens
     ids = jnp.zeros((b, total), jnp.int32).at[:, :p].set(prompt_ids)
 
     def step(carry, _):
-        ids, cur, key = carry
+        ids, cur, key, done = carry
         (logits, _), _ = model.apply(variables, ids, mutable=["stats_buffer"])
         next_logits = jnp.take_along_axis(
             logits, (cur - 1)[None, None, None].repeat(b, 0), axis=1
@@ -64,11 +69,17 @@ def generate(
                 scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
             next_token = jax.random.categorical(sample_key, scaled, axis=-1)
 
+        next_token = jnp.where(done, pad_id, next_token)
+        if eos_id is not None:
+            done = done | (next_token == eos_id)
         ids = jax.vmap(lambda row, t: row.at[cur].set(t))(ids, next_token)
-        return (ids, cur + 1, key), next_token
+        return (ids, cur + 1, key, done), next_token
 
-    (ids, _, _), _ = jax.lax.scan(
-        step, (ids, jnp.array(p, jnp.int32), key), None, length=max_new_tokens
+    (ids, _, _, _), _ = jax.lax.scan(
+        step,
+        (ids, jnp.array(p, jnp.int32), key, jnp.zeros((b,), bool)),
+        None,
+        length=max_new_tokens,
     )
     return ids
 
@@ -85,7 +96,9 @@ def _sample(next_logits, sample_key, temperature, top_k):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "max_new_tokens", "temperature", "top_k"),
+    static_argnames=(
+        "model", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id",
+    ),
 )
 def generate_cached(
     model: FORDEDecoderLM,
@@ -95,10 +108,14 @@ def generate_cached(
     max_new_tokens: int = 32,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
 ) -> jnp.ndarray:
     """KV-cache incremental sampling: O(1) attention work per new token.
 
-    Requires ``scan_layers=False`` (the scan carries no per-layer cache).
+    Works with BOTH layer layouts — unrolled and ``scan_layers=True`` (the
+    cache collection carries a leading (L,) axis through nn.scan, so
+    serving compiles one block instead of num_layers copies).
     Both config families prefill the whole prompt in ONE forward pass:
     dense-causal through the decode path itself, NSA through
     ``nsa_prefill`` (the streaming caches are built directly from the
@@ -115,7 +132,7 @@ def generate_cached(
     if model.config.use_sparse_attention:
         return _generate_cached_nsa(
             model, variables, prompt_ids, key, max_new_tokens, temperature,
-            top_k,
+            top_k, eos_id, pad_id,
         )
     b, p = prompt_ids.shape
 
@@ -142,12 +159,15 @@ def generate_cached(
     next_token = _sample(
         logits[:, -1, :].astype(jnp.float32), sample_key, temperature, top_k
     )
+    done = jnp.zeros((b,), bool)
+    if eos_id is not None:
+        done = next_token == eos_id
 
     ids = jnp.zeros((b, p + max_new_tokens), jnp.int32)
     ids = ids.at[:, :p].set(prompt_ids).at[:, p].set(next_token)
 
     def step(carry, _):
-        ids, cache, cur, token, key = carry
+        ids, cache, cur, token, key, done = carry
         (logits, _), updated = model.apply(
             {**model_vars, "cache": cache},
             token[:, None],
@@ -161,12 +181,15 @@ def generate_cached(
         nxt = _sample(
             logits[:, 0, :].astype(jnp.float32), sample_key, temperature, top_k
         )
+        nxt = jnp.where(done, pad_id, nxt)
+        if eos_id is not None:
+            done = done | (nxt == eos_id)
         ids = jax.vmap(lambda row, t: row.at[cur].set(t))(ids, nxt)
-        return (ids, cache, cur + 1, nxt, key), None
+        return (ids, cache, cur + 1, nxt, key, done), None
 
-    (ids, _, _, _, _), _ = jax.lax.scan(
+    (ids, _, _, _, _, _), _ = jax.lax.scan(
         step,
-        (ids, cache, jnp.array(p + 1, jnp.int32), next_token, key),
+        (ids, cache, jnp.array(p + 1, jnp.int32), next_token, key, done),
         None,
         length=max_new_tokens - 1,
     )
@@ -174,7 +197,8 @@ def generate_cached(
 
 
 def _generate_cached_nsa(
-    model, variables, prompt_ids, key, max_new_tokens, temperature, top_k
+    model, variables, prompt_ids, key, max_new_tokens, temperature, top_k,
+    eos_id=None, pad_id=0,
 ):
     """NSA cached decoding: parallel teacher-forced prefill (one forward,
     nsa_prefill) then streaming single-token steps for new tokens."""
@@ -188,11 +212,14 @@ def _generate_cached_nsa(
     next_token = _sample(
         last_logits.astype(jnp.float32), sample_key, temperature, top_k
     )
+    done = jnp.zeros((b,), bool)
+    if eos_id is not None:
+        done = next_token == eos_id
     ids = jnp.zeros((b, p + max_new_tokens), jnp.int32)
     ids = ids.at[:, :p].set(prompt_ids).at[:, p].set(next_token)
 
     def step(carry, _):
-        ids, cache, cur, token, key = carry
+        ids, cache, cur, token, key, done = carry
         (logits, _), updated = model.apply(
             {**model_vars, "cache": cache},
             token[:, None],
@@ -205,12 +232,15 @@ def _generate_cached_nsa(
         nxt = _sample(
             logits[:, 0, :].astype(jnp.float32), sample_key, temperature, top_k
         )
+        nxt = jnp.where(done, pad_id, nxt)
+        if eos_id is not None:
+            done = done | (nxt == eos_id)
         ids = jax.vmap(lambda row, t: row.at[cur].set(t))(ids, nxt)
-        return (ids, updated["cache"], cur + 1, nxt, key), None
+        return (ids, updated["cache"], cur + 1, nxt, key, done), None
 
-    (ids, _, _, _, _), _ = jax.lax.scan(
+    (ids, _, _, _, _, _), _ = jax.lax.scan(
         step,
-        (ids, cache, jnp.array(p + 1, jnp.int32), next_token, key),
+        (ids, cache, jnp.array(p + 1, jnp.int32), next_token, key, done),
         None,
         length=max_new_tokens - 1,
     )
@@ -229,6 +259,11 @@ def nsa_prefill(model, variables, prompt_ids):
     exact forward at its length); generation then continues with the
     streaming decode step. Costs one O(P) forward instead of P
     single-token steps.
+
+    Works for BOTH layer layouts: unrolled (per-layer ``layer_{i}`` cache
+    subtrees, built in a Python loop) and ``scan_layers=True`` (leaves
+    carry a leading (L,) axis; the same per-layer builder is vmapped over
+    it).
     """
     cfg = model.config
     b, p = prompt_ids.shape
@@ -262,31 +297,29 @@ def nsa_prefill(model, variables, prompt_ids):
             0, 2, 1, 3
         )
 
-    cache["pos_index"] = jnp.asarray(p, jnp.int32)
-    for i in range(cfg.num_layers):
-        lname = f"layer_{i}"
-        x = inter[lname]["attn_norm"]["__call__"][0]  # (B, P, d_model)
-        lp = params[lname]["sparse_attention"]
-        lc = cache[lname]["sparse_attention"]
+    def build_layer(x, lp, lc):
+        """(B, P, d_model) attn_norm output + layer params + empty layer
+        cache -> filled layer cache (pure; vmapped for scan layouts)."""
+        lc = jax.tree.map(lambda a: a, lc)  # fresh containers
         lc["nsa_pos"] = jnp.asarray(p, jnp.int32)
 
-        # local branch
+        # local branch: ring buffer of the last w k/v rows (slot = pos % w)
+        la = lc["local_attention"]
+        w = la["cached_key"].shape[2]
+        t = min(p, w)
+        slots = jnp.mod(jnp.arange(p - t, p), w)
         qkv = dense(x, lp["local_attention"]["qkv_proj"])
         _, k, v = jnp.split(qkv, 3, axis=-1)
-        lc["local_attention"]["cached_key"] = (
-            lc["local_attention"]["cached_key"]
-            .at[:, :, :p]
-            .set(split_heads(k).astype(lc["local_attention"]["cached_key"].dtype))
+        la["cached_key"] = la["cached_key"].at[:, :, slots].set(
+            split_heads(k)[:, :, p - t:].astype(la["cached_key"].dtype)
         )
-        lc["local_attention"]["cached_value"] = (
-            lc["local_attention"]["cached_value"]
-            .at[:, :, :p]
-            .set(split_heads(v).astype(lc["local_attention"]["cached_value"].dtype))
+        la["cached_value"] = la["cached_value"].at[:, :, slots].set(
+            split_heads(v)[:, :, p - t:].astype(la["cached_value"].dtype)
         )
-        lc["local_attention"]["cache_index"] = jnp.asarray(p, jnp.int32)
+        la["cache_index"] = jnp.asarray(p, jnp.int32)
 
         ratio = cfg.compression_ratio
-        if cfg.use_sparse_attention and "comp_k" in lc:
+        if "comp_k" in lc:
             n_complete = p // ratio
             if n_complete:
                 means = x[:, : n_complete * ratio].reshape(
@@ -301,11 +334,9 @@ def nsa_prefill(model, variables, prompt_ids):
                     cv.astype(lc["comp_v"].dtype)
                 )
             tail = x[:, n_complete * ratio : p]
-            lc["comp_chunk_sum"] = jnp.sum(
-                tail, axis=1, dtype=jnp.float32
-            )
+            lc["comp_chunk_sum"] = jnp.sum(tail, axis=1, dtype=jnp.float32)
 
-        if cfg.use_sparse_attention and "topk_scores" in lc:
+        if "topk_scores" in lc:
             scores = dense(x, lp["importance_scorer"])[..., 0]  # (B, P)
             lc["topk_scores"] = lc["topk_scores"].at[:, :p].set(
                 scores.astype(jnp.float32)
@@ -318,12 +349,31 @@ def nsa_prefill(model, variables, prompt_ids):
             lc["topk_v"] = lc["topk_v"].at[:, :, :p].set(
                 tv.astype(lc["topk_v"].dtype)
             )
+        return lc
+
+    cache["pos_index"] = jnp.asarray(p, jnp.int32)
+    if cfg.scan_layers:
+        x_stack = inter["layers"]["block"]["attn_norm"]["__call__"][0]
+        cache["layers"]["block"]["sparse_attention"] = jax.vmap(build_layer)(
+            x_stack,
+            params["layers"]["block"]["sparse_attention"],
+            cache["layers"]["block"]["sparse_attention"],
+        )
+    else:
+        for i in range(cfg.num_layers):
+            lname = f"layer_{i}"
+            cache[lname]["sparse_attention"] = build_layer(
+                inter[lname]["attn_norm"]["__call__"][0],  # (B, P, d_model)
+                params[lname]["sparse_attention"],
+                cache[lname]["sparse_attention"],
+            )
 
     return cache, logits[:, -1, :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "max_new_tokens", "beam_size")
+    jax.jit,
+    static_argnames=("model", "max_new_tokens", "beam_size", "length_penalty"),
 )
 def generate_beam(
     model: FORDEDecoderLM,

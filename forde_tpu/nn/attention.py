@@ -57,9 +57,14 @@ class SlidingWindowAttention(nn.Module):
     computed with the block-sparse flash kernel — work outside the window is
     skipped, not masked.
 
-    ``decode=True``: incremental KV-cache path (one token per call after
-    init); the cache keeps the last ``max_decode_len`` positions and the
-    mask combines causality with the window bound."""
+    ``decode=True``: incremental KV-cache path. The cache is a true RING
+    BUFFER of the last ``window_size`` K/V rows (O(window) memory and
+    per-step attention work, independent of ``max_decode_len``): slot
+    ``pos % W`` holds position ``pos``, and each slot's source position is
+    reconstructed from the write counter for masking. Multi-token calls
+    (S > 1) are prefill-from-empty: attention runs over the in-call K/V
+    (the training window kernel) and only the last ``W`` rows are written
+    into the ring."""
 
     num_heads: int
     head_dim: int
@@ -67,6 +72,11 @@ class SlidingWindowAttention(nn.Module):
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     max_decode_len: int = 2048
+    # Context parallelism: when the mesh's ``context`` axis is >1 the
+    # sequence arrives sharded over it; the window attention then runs
+    # shard-locally with a W-row halo exchange from the previous shard
+    # (parallel/nsa_context.py) — comms O(window), not O(S).
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -81,7 +91,8 @@ class SlidingWindowAttention(nn.Module):
         k = _split_heads(k, self.num_heads, self.head_dim)
         v = _split_heads(v, self.num_heads, self.head_dim)
         if decode:
-            cache_shape = (b, self.num_heads, self.max_decode_len, self.head_dim)
+            w = min(self.window_size, self.max_decode_len)
+            cache_shape = (b, self.num_heads, w, self.head_dim)
             cached_key = self.variable(
                 "cache", "cached_key", jnp.zeros, cache_shape, k.dtype
             )
@@ -93,25 +104,51 @@ class SlidingWindowAttention(nn.Module):
             )
             if self.is_initializing():
                 out = jnp.zeros_like(q)
-            else:
-                idx = cache_index.value
+            elif s == 1:
+                idx = cache_index.value  # position of this token
+                slot = jnp.mod(idx, w)
                 keys = jax.lax.dynamic_update_slice(
-                    cached_key.value, k, (0, 0, idx, 0)
+                    cached_key.value, k, (0, 0, slot, 0)
                 )
                 values = jax.lax.dynamic_update_slice(
-                    cached_value.value, v, (0, 0, idx, 0)
+                    cached_value.value, v, (0, 0, slot, 0)
                 )
                 cached_key.value = keys
                 cached_value.value = values
-                cache_index.value = idx + s
-                # causal AND in-window: 0 <= q_pos - k_pos < window
-                q_pos = idx + jnp.arange(s)[:, None]
-                k_pos = jnp.arange(self.max_decode_len)[None, :]
-                diff = q_pos - k_pos
-                attn_mask = ((diff >= 0) & (diff < self.window_size))[
-                    None, None
-                ]
+                cache_index.value = idx + 1
+                # Slot j holds position idx - ((idx - j) mod w) — always
+                # within (idx - w, idx], so the window/causal bounds hold
+                # by construction; only not-yet-written slots (source
+                # position < 0) are masked.
+                j = jnp.arange(w)
+                slot_pos = idx - jnp.mod(idx - j, w)
+                attn_mask = (slot_pos >= 0)[None, None, None, :]
                 out = attention_ref.mha_reference(q, keys, values, mask=attn_mask)
+            else:
+                # Prefill from an empty cache (cache_index assumed 0):
+                # full in-call window attention, then write the tail.
+                out = flash_attention(
+                    q, k, v, causal=True, window_size=self.window_size,
+                    impl=self.impl,
+                )
+                t = min(s, w)
+                slots = jnp.mod(jnp.arange(s - t, s), w)
+                cached_key.value = cached_key.value.at[:, :, slots].set(
+                    k[:, :, s - t:]
+                )
+                cached_value.value = cached_value.value.at[:, :, slots].set(
+                    v[:, :, s - t:]
+                )
+                cache_index.value = cache_index.value + s
+        elif (
+            self.mesh is not None
+            and self.mesh.shape.get(AXIS_CONTEXT, 1) > 1
+        ):
+            from forde_tpu.parallel.nsa_context import window_attention_cp
+
+            out = window_attention_cp(
+                q, k, v, self.mesh, self.window_size, impl=self.impl
+            )
         else:
             out = flash_attention(
                 q, k, v, causal=True, window_size=self.window_size,
@@ -213,6 +250,19 @@ class NativeSparseAttention(nn.Module):
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     max_decode_len: int = 2048
+    # Context parallelism (training path): sequence sharded over the
+    # mesh's ``context`` axis. Each branch uses a structure-aware
+    # collective (parallel/nsa_context.py): window halo exchange, pool
+    # all-gather, global top-k with masked gather + psum. Decode stays
+    # single-device (serving).
+    mesh: Optional[Mesh] = None
+
+    @property
+    def _cp_active(self) -> bool:
+        return (
+            self.mesh is not None
+            and self.mesh.shape.get(AXIS_CONTEXT, 1) > 1
+        )
 
     @nn.compact
     def __call__(
@@ -232,6 +282,7 @@ class NativeSparseAttention(nn.Module):
             impl=self.impl,
             dtype=self.dtype,
             max_decode_len=self.max_decode_len,
+            mesh=self.mesh,
             name="local_attention",
         )(x, mask)
 
@@ -456,12 +507,22 @@ class NativeSparseAttention(nn.Module):
         num_pools = max(max_global_len // self.compression_ratio, 1)
         truncated_len = num_pools * self.compression_ratio
 
-        # Modular indexing quirk preserved: positions wrap past seq_len.
-        pool_indices = jnp.arange(truncated_len) % s
-        global_tokens = jnp.take(x, pool_indices, axis=1)
-        compressed = global_tokens.reshape(
-            b, num_pools, self.compression_ratio, d_model
-        ).mean(axis=2)
+        if self._cp_active and truncated_len <= s:
+            # Shard-local pooling + all-gather of the (small) pool means;
+            # the modular-wrap quirk below cannot trigger here because
+            # truncated_len <= s (s > window in any CP configuration).
+            from forde_tpu.parallel.nsa_context import gather_pool_means_cp
+
+            compressed = gather_pool_means_cp(
+                x, self.mesh, self.compression_ratio, num_pools
+            )
+        else:
+            # Modular indexing quirk preserved: positions wrap past seq_len.
+            pool_indices = jnp.arange(truncated_len) % s
+            global_tokens = jnp.take(x, pool_indices, axis=1)
+            compressed = global_tokens.reshape(
+                b, num_pools, self.compression_ratio, d_model
+            ).mean(axis=2)
 
         q = nn.Dense(
             self.num_heads * self.head_dim, name="compressed_q_proj", dtype=self.dtype
@@ -481,7 +542,14 @@ class NativeSparseAttention(nn.Module):
         # the fused small-KV kernel (scores never materialize in HBM).
         pool_ends = (jnp.arange(num_pools) + 1) * self.compression_ratio
         key_pos = jnp.broadcast_to(pool_ends[None, :], (b, num_pools))
-        out = small_kv_attention(q, k, v, key_pos, impl=self.impl)
+        if self._cp_active:
+            from forde_tpu.parallel.nsa_context import small_kv_attention_cp
+
+            out = small_kv_attention_cp(
+                q, k, v, key_pos, self.mesh, impl=self.impl
+            )
+        else:
+            out = small_kv_attention(q, k, v, key_pos, impl=self.impl)
         out = _merge_heads(out).astype(x.dtype)
         return nn.Dense(d_model, name="compressed_out_proj", dtype=self.dtype)(out)
 
@@ -496,8 +564,16 @@ class NativeSparseAttention(nn.Module):
         ).squeeze(-1)
         _, top_k_indices = jax.lax.top_k(importance, k_sel)  # (b, k) global per seq
 
-        batch_idx = jnp.arange(b)[:, None]
-        selected = x[batch_idx, top_k_indices, :]  # (b, k, d_model)
+        if self._cp_active:
+            # scores gather replicates only (B, S) scalars under pjit;
+            # selected rows come from a masked shard gather + psum so the
+            # full (B, S, D) sequence never materializes on one device.
+            from forde_tpu.parallel.nsa_context import topk_select_cp
+
+            selected = topk_select_cp(x, top_k_indices, self.mesh)
+        else:
+            batch_idx = jnp.arange(b)[:, None]
+            selected = x[batch_idx, top_k_indices, :]  # (b, k, d_model)
 
         q = nn.Dense(
             self.num_heads * self.head_dim, name="topk_q_proj", dtype=self.dtype
@@ -515,6 +591,13 @@ class NativeSparseAttention(nn.Module):
         # Selected token j is visible to queries at positions >= its source
         # index (the reference's index-based causal mask), fused so the
         # (B, H, S, k) scores stay in VMEM.
-        out = small_kv_attention(q, kk, vv, top_k_indices, impl=self.impl)
+        if self._cp_active:
+            from forde_tpu.parallel.nsa_context import small_kv_attention_cp
+
+            out = small_kv_attention_cp(
+                q, kk, vv, top_k_indices, self.mesh, impl=self.impl
+            )
+        else:
+            out = small_kv_attention(q, kk, vv, top_k_indices, impl=self.impl)
         out = _merge_heads(out).astype(x.dtype)
         return nn.Dense(d_model, name="topk_out_proj", dtype=self.dtype)(out)

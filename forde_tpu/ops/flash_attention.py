@@ -803,6 +803,7 @@ def flash_attention_with_lse(
     v: jnp.ndarray,
     *,
     causal: bool = True,
+    window_size: Optional[int] = None,
     scale: Optional[float] = None,
     impl: str = "auto",
     block_q: Optional[int] = None,
@@ -835,9 +836,10 @@ def flash_attention_with_lse(
         ) * scale
         if causal:
             pos = jnp.arange(s)
-            sc = jnp.where(
-                (pos[:, None] >= pos[None, :])[None, None], sc, MASK_VALUE
-            )
+            keep = pos[:, None] >= pos[None, :]
+            if window_size is not None:
+                keep &= pos[:, None] - pos[None, :] < window_size
+            sc = jnp.where(keep[None, None], sc, MASK_VALUE)
         m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -859,7 +861,7 @@ def flash_attention_with_lse(
     block_q = _fit(block_q or default_block)
     block_k = _fit(block_k or default_block)
     return _flash_attention_lse_padded(
-        q, k, v, float(scale), None, causal, block_q, block_k,
+        q, k, v, float(scale), window_size, causal, block_q, block_k,
         impl == "interpret", None,
     )
 
@@ -1020,7 +1022,14 @@ def _mha_fwd_kernel(
             l = jnp.sum(p, axis=1, keepdims=True)
             l_safe = jnp.where(l == 0.0, 1.0, l)
             o = _dot((p / l_safe).astype(v.dtype), v, ((1,), (0,)))
-            o_ref[bi, :, hi * d:(hi + 1) * d] = o.astype(o_ref.dtype)
+            # Fully-masked rows (kv_lens[b] == 0): masked s is MASK_VALUE
+            # everywhere, so p would be uniform and o the mean of v. Zero
+            # those rows instead, consistent with the backward (which
+            # masks p to 0) and the reference path.
+            row_valid = (m > MASK_VALUE * 0.5).astype(o.dtype)
+            o_ref[bi, :, hi * d:(hi + 1) * d] = (o * row_valid).astype(
+                o_ref.dtype
+            )
             lse_ref[bi, hi] = m + jnp.log(l_safe)
 
 
@@ -1207,17 +1216,29 @@ def _mha_reference_path(qkv, num_heads, head_dim, kv_lens, causal, window, scale
     def split(x):
         return x.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
     q, k, v = split(q), split(k), split(v)
-    mask = None
     if kv_lens is not None:
+        # Combine kv_lens with causal/window masks (the fused kernel does)
+        # so impl="reference" never silently diverges from the TPU path.
         mask = (
             jnp.arange(s)[None, :] < kv_lens.astype(jnp.int32)[:, None]
         )[:, None, None, :]
-    if causal and window is not None:
+        q_pos = jnp.arange(s)[:, None]
+        k_pos = jnp.arange(s)[None, :]
+        if causal:
+            mask = mask & (q_pos >= k_pos)[None, None]
+        if window is not None:
+            mask = mask & (q_pos - k_pos < window)[None, None]
+        o = attention_ref.mha_reference(q, k, v, mask=mask, scale=scale)
+        # Fully-masked rows (kv_lens[b] == 0) are zeroed, matching the
+        # fused kernel's forward/backward (grads through the zero
+        # multiply are zero for those rows in both impls).
+        o = o * (kv_lens > 0).astype(o.dtype)[:, None, None, None]
+    elif causal and window is not None:
         o = attention_ref.sliding_window_attention_ref(q, k, v, window, scale=scale)
     elif causal:
         o = attention_ref.causal_attention_ref(q, k, v, scale=scale)
     else:
-        o = attention_ref.mha_reference(q, k, v, mask=mask, scale=scale)
+        o = attention_ref.mha_reference(q, k, v, scale=scale)
     return o.transpose(0, 2, 1, 3).reshape(b, s, num_heads * head_dim)
 
 

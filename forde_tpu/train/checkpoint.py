@@ -31,8 +31,13 @@ class CheckpointManager:
     def save(self, step: int, state: TrainState, force: bool = False) -> bool:
         if step in (self._mgr.all_steps() or []):
             # final force-save often coincides with an interval save;
-            # orbax raises StepAlreadyExistsError rather than no-op
-            return False
+            # orbax raises StepAlreadyExistsError rather than no-op. A
+            # forced save REPLACES the existing step (delete then save) so
+            # re-saving updated state to the same step is possible.
+            if not force:
+                return False
+            self._mgr.wait_until_finished()
+            self._mgr.delete(step)
         return self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="dense",
                    help='"ep" = explicit shard_map expert parallelism '
                         "(requires --expert_parallelism > 1)")
+    p.add_argument("--moment_dtype", type=str, default=None,
+                   help="Adam moment storage dtype (e.g. bfloat16) — halves "
+                        "optimizer HBM traffic; update math stays fp32")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over layers (fast compiles; see PERF.md)")
@@ -137,10 +140,15 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     brain = BrainConfig()
 
     if args.context_parallelism > 1 and not args.no_nsa:
-        raise ValueError(
-            "--context_parallelism requires --no_nsa (ring attention "
-            "serves the dense-attention path; NSA is single-chip)"
-        )
+        # NSA under CP needs the window to fit within one shard boundary
+        # (halo exchange, parallel/nsa_context.py) and ratio-aligned shards.
+        per_shard = args.seq_len // args.context_parallelism
+        if per_shard < args.window_size - 1:
+            raise ValueError(
+                f"--context_parallelism {args.context_parallelism} puts "
+                f"{per_shard} tokens per shard < window_size-1 "
+                f"({args.window_size - 1}); use fewer context shards"
+            )
     if args.context_parallelism > 1 and args.seq_len % args.context_parallelism:
         raise ValueError(
             f"--seq_len {args.seq_len} must divide by "
@@ -173,6 +181,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         init_batch_shape=(1, min(64, args.seq_len)),
         mesh=model_mesh,
         warmup_steps=args.warmup_steps,
+        moment_dtype=args.moment_dtype,
     )
     state = shard_train_state(state, mesh)
 

@@ -32,8 +32,6 @@ def test_flash_mha_matches_reference(kv_case, causal):
     kv_lens = (
         jnp.array([S, S // 2, 7], jnp.int32) if kv_case == "lens" else None
     )
-    if causal and kv_case == "lens":
-        pytest.skip("lens masking is the bidirectional text-tower path")
 
     def run(impl):
         return flash_mha(
@@ -84,13 +82,23 @@ def test_flash_mha_window_matches_4d_kernel():
 
 
 def test_flash_mha_zero_len_sample():
-    """kv_lens[b] == 0 must not produce NaNs (uniform-zero output rows)."""
+    """kv_lens[b] == 0 rows are ZERO (not mean-of-v) in forward, with zero
+    grads, identically in the kernel and the reference path."""
     qkv = _qkv(jax.random.PRNGKey(3))
     kv_lens = jnp.array([S, 0, 1], jnp.int32)
     out = flash_mha(qkv, H, D, kv_lens=kv_lens, impl="interpret")
-    assert np.isfinite(np.asarray(out[0])).all()
-    assert np.isfinite(np.asarray(out[2])).all()
-    g = _grads(
+    ref = flash_mha(qkv, H, D, kv_lens=kv_lens, impl="reference")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+    assert np.abs(np.asarray(out[1])).max() == 0.0  # zero-len sample zeroed
+    g_out = _grads(
         lambda x: flash_mha(x, H, D, kv_lens=kv_lens, impl="interpret"), qkv
     )
-    assert np.isfinite(np.asarray(g[0])).all()
+    g_ref = _grads(
+        lambda x: flash_mha(x, H, D, kv_lens=kv_lens, impl="reference"), qkv
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_out), np.asarray(g_ref), atol=5e-5, rtol=5e-5
+    )
+    assert np.abs(np.asarray(g_out[1])).max() == 0.0
