@@ -165,8 +165,9 @@ class MoELayer(nn.Module):
             # Explicit expert parallelism: the router and aux loss run in
             # the surrounding pjit computation; the dispatch/expert-FFN/
             # combine is shard_mapped over the mesh so every device holds
-            # E/ep experts and partial outputs psum over the expert axis
-            # (parallel/expert_parallel.py).
+            # E/ep experts. Tokens move to their experts via all_to_all
+            # (GShard-style; psum fallback for ragged token counts) —
+            # parallel/expert_parallel.py.
             if self.mesh is None:
                 raise ValueError(
                     'dispatch="ep" requires a mesh (MoELayer(mesh=...))'

@@ -2,17 +2,32 @@
 
 The default MoE path relies on pjit sharding propagation over the stacked
 expert tensors; this module states the parallelism explicitly (SURVEY.md
-§2.4: EP as a first-class component): every device holds E/ep experts,
-activations are sharded over ``data`` and replicated over the (small)
-``expert`` axis, each expert shard computes its slice of the capacity-
-routed dispatch, and partial token outputs are summed with a ``psum`` over
-the expert axis (the replicate-activations + reduce-combine EP variant —
-the right trade when the expert axis is narrow; ragged all-to-all dispatch
-is the follow-up for wide expert meshes).
+§2.4: EP as a first-class component). Every device holds E/ep experts.
+Two dispatch variants, auto-selected by ``expert_parallel_ffn``:
+
+  * **all-to-all** (GShard-style, the production path): each expert-axis
+    device routes a distinct 1/ep slice of the local tokens into per-
+    expert capacity buffers, one ``all_to_all`` moves each buffer to the
+    device owning that expert, the expert FFN runs on (E/ep, ep*C, D),
+    and a second ``all_to_all`` returns outputs to the token owners.
+    Per-device comms scale as 2 * top_k * capacity_factor * D per token
+    — independent of the expert-axis width.
+  * **psum fallback**: activations replicated over the ``expert`` axis,
+    each shard computes its experts' slice of a globally-routed capacity
+    plan, partial (T, D) outputs summed with ``psum``. Used when the
+    local token count does not divide the expert axis (the all-to-all
+    slice would be ragged); fine for narrow expert meshes.
 
 The auxiliary load-balance loss is assembled from pmean'd fractions and
 probabilities over the ``data`` axis, which reproduces the global-batch
 formula exactly for equal shard sizes.
+
+Capacity semantics: the all-to-all variant budgets ``capacity`` per
+SOURCE shard (total expert slots = ep * C, the same global budget as the
+psum variant), so overflow drops are decided per (source shard, expert)
+pair rather than globally — the standard GShard behavior. With
+``capacity_factor >= num_experts`` no token ever drops and both variants
+are exact.
 """
 
 from __future__ import annotations
@@ -69,6 +84,73 @@ def _ep_ffn_body(
     weight = (plan["weight"] * local).astype(expert_out.dtype)[..., None]
     partial = jnp.sum(per_slot * weight, axis=1)  # (T, D)
     return jax.lax.psum(partial, expert_axis)
+
+
+def _ep_a2a_ffn_body(
+    flat_x, top_k_indices, top_k_probs, w_up, b_up, w_down, b_down,
+    *, num_experts: int, top_k: int, capacity: int, expert_axis: str,
+):
+    """GShard-style all-to-all EP FFN.
+
+    Each expert-axis device owns a distinct T/ep slice of the local
+    tokens. Dispatch buffers (E, C, D) are built shard-locally, an
+    ``all_to_all`` delivers each expert's buffers to its owner, the
+    local expert shard computes (E/ep, ep*C, D), and a reverse
+    ``all_to_all`` returns outputs for the local combine. Returns the
+    (T/ep, D) outputs of THIS device's token slice (reassembled by the
+    caller's out_specs).
+    """
+    e_shard = w_up.shape[0]
+    ep = num_experts // e_shard
+    me = jax.lax.axis_index(expert_axis)
+    t, d = flat_x.shape
+    t_d = t // ep
+
+    x_me = jax.lax.dynamic_slice(flat_x, (me * t_d, 0), (t_d, d))
+    idx_me = jax.lax.dynamic_slice(
+        top_k_indices, (me * t_d, 0), (t_d, top_k)
+    )
+    prob_me = jax.lax.dynamic_slice(
+        top_k_probs, (me * t_d, 0), (t_d, top_k)
+    )
+
+    plan = moe_dispatch.capacity_route(idx_me, prob_me, num_experts, capacity)
+    send = moe_dispatch.capacity_gather(x_me, plan)  # (E, C, D)
+    send = send.reshape(ep, e_shard, capacity, d)
+    # recv[src, le, c] = slot c of MY local expert le, from source shard src
+    recv = jax.lax.all_to_all(send, expert_axis, 0, 0)
+
+    h_in = recv.transpose(1, 0, 2, 3).reshape(e_shard, ep * capacity, d)
+    h = jnp.einsum("ecd,edh->ech", h_in, w_up.astype(h_in.dtype))
+    h = jax.nn.gelu(h + b_up.astype(h.dtype)[:, None, :])
+    out = (
+        jnp.einsum("ech,ehd->ecd", h, w_down.astype(h.dtype))
+        + b_down.astype(h.dtype)[:, None, :]
+    )
+
+    out = out.reshape(e_shard, ep, capacity, d).transpose(1, 0, 2, 3)
+    # back[src_e, le, c] = global expert (src_e*e_shard + le)'s output for
+    # MY slot c — exactly the (E, C, D) table the local plan indexes.
+    back = jax.lax.all_to_all(out, expert_axis, 0, 0)
+    return moe_dispatch.capacity_combine(
+        back.reshape(num_experts, capacity, d), plan
+    )
+
+
+def _ep_a2a_logits_body(
+    x, top_k_indices, top_k_probs, w_up, b_up, w_down, b_down,
+    *, num_experts: int, top_k: int, capacity: int, expert_axis: str,
+):
+    """All-to-all EP body for the model path (routing made outside)."""
+    b, s, d = x.shape
+    return _ep_a2a_ffn_body(
+        x.reshape(b * s, d),
+        top_k_indices.reshape(b * s, top_k),
+        top_k_probs.reshape(b * s, top_k),
+        w_up, b_up, w_down, b_down,
+        num_experts=num_experts, top_k=top_k, capacity=capacity,
+        expert_axis=expert_axis,
+    )
 
 
 def _ep_body(
@@ -181,6 +263,7 @@ def expert_parallel_ffn(
     num_experts: int,
     top_k: int = 2,
     capacity_factor: float = 2.0,
+    variant: str = "auto",
 ) -> jnp.ndarray:
     """The MoE FFN with explicit EP, for use INSIDE the model (pjit trace).
 
@@ -190,6 +273,9 @@ def expert_parallel_ffn(
     (nn/moe.py); ``expert_parallel_moe`` above is the standalone
     (router-included) variant.
 
+    ``variant``: "a2a" | "psum" | "auto" (all-to-all whenever the local
+    token count divides the expert axis — see module docstring).
+
     Args:
         x: (B, S, D) activations, batch sharded over ``data``.
         top_k_indices / top_k_probs: (B, S, K) routing decisions.
@@ -198,10 +284,46 @@ def expert_parallel_ffn(
     """
     b, s, _ = x.shape
     data_shards = mesh.shape[AXIS_DATA]
+    ep = mesh.shape[AXIS_EXPERT]
     t_local = (b // data_shards) * s
-    capacity = max(int(capacity_factor * t_local * top_k / num_experts), top_k)
-
     w_up, b_up, w_down, b_down = expert_params
+
+    if variant == "auto":
+        variant = "a2a" if t_local % ep == 0 else "psum"
+    if variant == "a2a":
+        if t_local % ep:
+            raise ValueError(
+                f"all-to-all EP needs local tokens {t_local} divisible by "
+                f"the expert axis ({ep}); use variant='psum'"
+            )
+        t_d = t_local // ep
+        capacity = max(
+            int(capacity_factor * t_d * top_k / num_experts), top_k
+        )
+        fn = jax.shard_map(
+            functools.partial(
+                _ep_a2a_logits_body,
+                num_experts=num_experts,
+                top_k=top_k,
+                capacity=capacity,
+                expert_axis=AXIS_EXPERT,
+            ),
+            mesh=mesh,
+            in_specs=(
+                P(AXIS_DATA, None, None),
+                P(AXIS_DATA, None, None),
+                P(AXIS_DATA, None, None),
+                P(AXIS_EXPERT, None, None), P(AXIS_EXPERT, None),
+                P(AXIS_EXPERT, None, None), P(AXIS_EXPERT, None),
+            ),
+            # (T/ep, D) per device, stacked (data-major, expert-minor) —
+            # exactly the flattened (B_local*S) token order per data shard.
+            out_specs=P((AXIS_DATA, AXIS_EXPERT), None),
+        )
+        out = fn(x, top_k_indices, top_k_probs, w_up, b_up, w_down, b_down)
+        return out.reshape(b, s, -1).astype(x.dtype)
+
+    capacity = max(int(capacity_factor * t_local * top_k / num_experts), top_k)
     fn = jax.shard_map(
         functools.partial(
             _ep_logits_body,

@@ -161,16 +161,19 @@ def gather_pool_means_cp(
         )
 
     def body(x_loc):
-        pools = x_loc.reshape(
+        return x_loc.reshape(
             x_loc.shape[0], s_local // ratio, ratio, d
         ).mean(axis=2)
-        return jax.lax.all_gather(pools, axis_name, axis=1, tiled=True)
 
+    # out_specs reassembles the global pooled sequence (still context-
+    # sharded); XLA inserts the all-gather where a consumer needs it
+    # replicated. Gathering by hand trips the shard_map VMA check
+    # (all_gather output is not statically known replicated).
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=P(_batch_axis(mesh), axis_name, None),
-        out_specs=P(_batch_axis(mesh), None, None),
+        out_specs=P(_batch_axis(mesh), axis_name, None),
     )
     return fn(x)[:, :num_pools]
 
