@@ -46,6 +46,7 @@ def create_clip_train_state(
     text_len: Optional[int] = None,
     grad_clip_norm: float = 1.0,
     warmup_steps: int = 0,
+    moment_dtype: Optional[str] = None,
 ) -> CLIPTrainState:
     """Initialize with REAL batch shapes: the gradient taps are shaped like
     the activations they tap, so init must see the training batch shape."""
@@ -66,7 +67,8 @@ def create_clip_train_state(
         apply_fn=model.apply,
         params=variables["params"],
         tx=make_optimizer(
-            learning_rate, weight_decay, grad_clip_norm, warmup_steps
+            learning_rate, weight_decay, grad_clip_norm, warmup_steps,
+            moment_dtype=moment_dtype,
         ),
         brain=variables.get("brain", core.FrozenDict()),
         stats_buffer=variables.get("stats_buffer", core.FrozenDict()),

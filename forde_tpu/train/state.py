@@ -38,6 +38,7 @@ def make_optimizer(
     weight_decay: float,
     grad_clip_norm: float = 1.0,
     warmup_steps: int = 0,
+    moment_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """clip_by_global_norm(1.0) -> adamw (reference train.py:74-77).
 
@@ -45,6 +46,11 @@ def make_optimizer(
     contrastive dual encoder falls into the uniform-softmax saddle (loss
     pinned at ln(B), grads ~1e-3) within the first ~50 steps at practical
     peak LRs; measured on v5e, warmup escapes it.
+
+    ``moment_dtype`` (e.g. "bfloat16") stores BOTH Adam moments in that
+    dtype — halves the ~2.2 GB/step of fp32 moment HBM traffic at ViT-B
+    scale; update math stays fp32 (see train/optim.py). None keeps exact
+    optax.adamw/reference behavior.
     """
     lr = learning_rate
     if warmup_steps > 0:
@@ -55,10 +61,17 @@ def make_optimizer(
             ],
             [warmup_steps],
         )
-    return optax.chain(
-        optax.clip_by_global_norm(grad_clip_norm),
-        optax.adamw(learning_rate=lr, weight_decay=weight_decay),
-    )
+    if moment_dtype:
+        from forde_tpu.train.optim import adamw_lowp
+
+        tx = adamw_lowp(
+            learning_rate=lr,
+            weight_decay=weight_decay,
+            moment_dtype=jnp.dtype(moment_dtype),
+        )
+    else:
+        tx = optax.adamw(learning_rate=lr, weight_decay=weight_decay)
+    return optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
 
 
 def create_train_state(
@@ -70,6 +83,7 @@ def create_train_state(
     init_batch_shape=(1, 64),
     mesh: Optional[Mesh] = None,
     warmup_steps: int = 0,
+    moment_dtype: Optional[str] = None,
 ) -> TrainState:
     """Initialize model + optimizer (reference create_train_state,
     train.py:54-84).
@@ -93,7 +107,8 @@ def create_train_state(
     params = variables["params"]
     stats_buffer = variables.get("stats_buffer", core.FrozenDict())
     tx = make_optimizer(
-        learning_rate, weight_decay, grad_clip_norm, warmup_steps
+        learning_rate, weight_decay, grad_clip_norm, warmup_steps,
+        moment_dtype=moment_dtype,
     )
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, stats_buffer=stats_buffer
