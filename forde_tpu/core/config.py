@@ -227,6 +227,41 @@ def vit_tiny_config() -> DualEncoderConfig:
 
 
 # ---------------------------------------------------------------------------
+# Config (de)serialization — lets a checkpoint carry its model shape so
+# serving never needs hand-matched flags (forde_tpu/serve.py).
+# ---------------------------------------------------------------------------
+
+
+def config_to_dict(cfg) -> dict:
+    """JSON-safe dict for an LLMConfig or DualEncoderConfig (dtypes by name)."""
+    if isinstance(cfg, LLMConfig):
+        kind = "llm"
+    elif isinstance(cfg, DualEncoderConfig):
+        kind = "dual_encoder"
+    else:
+        raise TypeError(f"unsupported config type {type(cfg)}")
+    d = dataclasses.asdict(cfg)
+    d["dtypes"] = {k: jnp.dtype(v).name for k, v in d["dtypes"].items()}
+    return {"kind": kind, **d}
+
+
+def config_from_dict(d: dict):
+    """Inverse of ``config_to_dict``."""
+    d = dict(d)
+    kind = d.pop("kind")
+    d["dtypes"] = DTypePolicy(
+        **{k: jnp.dtype(v) for k, v in d["dtypes"].items()}
+    )
+    if kind == "llm":
+        return LLMConfig(**d)
+    if kind == "dual_encoder":
+        d["vision"] = TowerConfig(**d["vision"])
+        d["text"] = TowerConfig(**d["text"])
+        return DualEncoderConfig(**d)
+    raise ValueError(f"unknown config kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
 # Brain (slow loop)
 # ---------------------------------------------------------------------------
 

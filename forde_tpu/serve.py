@@ -9,13 +9,14 @@ O(1) attention work per new token, NSA configs included.
 
 Usage:
   python -m forde_tpu.serve --checkpoint_dir runs/ckpt \\
-      --d_model 512 --num_layers 12 --num_heads 8 \\
       --prompt "The little GPU that" --max_new_tokens 64 --temperature 0.8
   # or raw token ids, no tokenizer needed (this image has no egress):
   python -m forde_tpu.serve --prompt_ids 12,99,407 --max_new_tokens 16
 
-Model-shape flags must match the checkpoint's training flags (the same
-``config_from_args`` derivation rules are reused).
+Checkpoints written by ``train.loop`` carry their model config
+(``model_config.json``), so no shape flags are needed; for pre-config
+checkpoints (or random-init smoke runs) the shape flags are used with the
+same ``config_from_args`` derivation rules as training.
 """
 
 from __future__ import annotations
@@ -82,15 +83,31 @@ def main(argv: Optional[list] = None) -> None:
     from forde_tpu.train.loop import config_from_args
     from forde_tpu.train.state import create_train_state
 
-    # config_from_args reads these training-only fields too:
-    args.remat = False
-    args.scan_layers = False  # decode requires unrolled layers
-    config = config_from_args(args)
+    config = None
+    moment_dtype = None
+    if args.checkpoint_dir:
+        from forde_tpu.train.checkpoint import load_model_config, load_train_meta
+
+        config = load_model_config(args.checkpoint_dir)
+        if config is not None:
+            moment_dtype = load_train_meta(args.checkpoint_dir).get("moment_dtype")
+            print(f"[serve] model config loaded from "
+                  f"{args.checkpoint_dir}/model_config.json")
+    if config is None:
+        # config_from_args reads these training-only fields too:
+        args.remat = False
+        args.scan_layers = False
+        config = config_from_args(args)
+    # dropout off at inference
+    config = config.replace(dropout_rate=0.0)
 
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(
         config, rng, learning_rate=1e-4, weight_decay=0.0,
         init_batch_shape=(1, min(args.seq_len, config.max_seq_len)),
+        # match the saved opt-state structure (bf16 moments etc.) so
+        # Orbax StandardRestore sees an identical tree
+        moment_dtype=moment_dtype,
     )
     if args.checkpoint_dir:
         from forde_tpu.train.checkpoint import restore_checkpoint

@@ -9,12 +9,54 @@ and resume.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
 import orbax.checkpoint as ocp
 
 from forde_tpu.train.state import TrainState
+
+MODEL_CONFIG_FILENAME = "model_config.json"
+
+
+def save_model_config(directory: str, config, train_meta: Optional[dict] = None) -> None:
+    """Write the model config next to the Orbax steps so serving can
+    reconstruct the exact architecture with zero shape flags
+    (VERDICT r2 #9; forde_tpu/serve.py). ``train_meta`` records training
+    choices that shape the SAVED STATE rather than the model — e.g. the
+    optimizer moment dtype, which restore must reproduce structurally."""
+    from forde_tpu.core.config import config_to_dict
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, MODEL_CONFIG_FILENAME)
+    with open(path, "w") as f:
+        json.dump(
+            {"model": config_to_dict(config), "train": train_meta or {}},
+            f,
+            indent=1,
+        )
+
+
+def _read_meta(directory: str) -> Optional[dict]:
+    path = os.path.join(directory, MODEL_CONFIG_FILENAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_model_config(directory: str):
+    """Load the saved model config, or None for pre-config checkpoints."""
+    from forde_tpu.core.config import config_from_dict
+
+    d = _read_meta(directory)
+    return None if d is None else config_from_dict(d["model"])
+
+
+def load_train_meta(directory: str) -> dict:
+    d = _read_meta(directory)
+    return (d or {}).get("train", {})
 
 
 class CheckpointManager:

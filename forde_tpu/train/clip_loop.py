@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--experiment_name", type=str, default="forde_tpu_clip")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--moment_dtype", type=str, default=None,
+                   help="Adam moment storage dtype (e.g. bfloat16) — halves "
+                        "optimizer HBM traffic; update math stays fp32")
     p.add_argument("--plots_dir", type=str, default="plots")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--eval_interval", type=int, default=0,
@@ -119,6 +122,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         cfg, init_rng, args.learning_rate, args.weight_decay,
         batch_size=args.batch_size, text_len=args.text_len,
         warmup_steps=args.warmup_steps,
+        moment_dtype=args.moment_dtype,
     )
     n_params = sum(
         np.prod(p.shape) for p in jax.tree.leaves(state.params)
@@ -132,6 +136,10 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     manager = None
     if args.checkpoint_dir:
         manager = ckpt_lib.CheckpointManager(args.checkpoint_dir, keep=2)
+        ckpt_lib.save_model_config(
+            args.checkpoint_dir, cfg,
+            train_meta={"moment_dtype": args.moment_dtype},
+        )
         if args.resume and manager.latest_step() is not None:
             state = manager.restore(state)
             print(f"resumed from step {int(state.step)}")

@@ -188,6 +188,10 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     manager = None
     if args.checkpoint_dir:
         manager = ckpt_lib.CheckpointManager(args.checkpoint_dir, keep=2)
+        ckpt_lib.save_model_config(
+            args.checkpoint_dir, config,
+            train_meta={"moment_dtype": args.moment_dtype},
+        )
         if args.resume and manager.latest_step() is not None:
             state = manager.restore(state)
             print(f"resumed from step {int(state.step)}")
