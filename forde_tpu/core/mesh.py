@@ -69,12 +69,27 @@ def maybe_initialize_distributed() -> bool:
     """
     import os
 
-    if jax.process_count() > 1:
+    from jax._src import distributed as jax_distributed
+
+    if jax_distributed.global_state.client is not None:
         return True  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    # NOTE: must not touch jax.process_count()/jax.devices() here — any
+    # backend-initializing call before jax.distributed.initialize() makes
+    # the join impossible (initialize() raises).
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
+    )
+    if addr:
+        kw = {}
+        # Explicit bootstrap (no cluster auto-detect env, e.g. the local
+        # 2-process CPU test): coordinator + process_id/num_processes.
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
         return True
     return False
 
