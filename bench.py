@@ -45,6 +45,8 @@ def run_preset(preset: str, batch_size: int, steps: int) -> float:
     cfg = cfg.replace(dtypes=DTypePolicy.bf16(), forde_lite=False)
     if os.environ.get("BENCH_REMAT"):
         cfg = cfg.replace(remat=os.environ["BENCH_REMAT"])
+    if os.environ.get("BENCH_ATTN_IMPL"):
+        cfg = cfg.replace(attention_kernel_impl=os.environ["BENCH_ATTN_IMPL"])
 
     state = create_clip_train_state(
         cfg, jax.random.PRNGKey(0), 1e-4, 0.01,

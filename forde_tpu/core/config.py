@@ -182,6 +182,9 @@ class DualEncoderConfig:
     forde_lite: bool = False
     # Use fused Pallas StatefulLayer kernel on TPU
     stateful_kernel_impl: str = "auto"
+    # Encoder attention implementation ("auto" | "pallas" | "reference") —
+    # forwarded to ops.flash_attention.flash_mha for both towers.
+    attention_kernel_impl: str = "auto"
     # Rematerialization policy: False/"none" saves everything;
     # True/"block" remats whole tower blocks (recomputes attention too —
     # measured -23% when not HBM-limited); "mlp" remats ONLY the

@@ -89,6 +89,7 @@ class VisionTransformer(nn.Module):
                 d_model=tw.d_model,
                 specialist_gate=cfg.specialist_gate,
                 stateful_impl=cfg.stateful_kernel_impl,
+                attention_impl=cfg.attention_kernel_impl,
                 dropout_rate=tw.dropout_rate,
                 dtype=dtype,
                 remat_mlp=remat_mlp,
@@ -149,6 +150,7 @@ class TextTransformer(nn.Module):
                 d_model=tw.d_model,
                 specialist_gate=cfg.specialist_gate,
                 stateful_impl=cfg.stateful_kernel_impl,
+                attention_impl=cfg.attention_kernel_impl,
                 dropout_rate=tw.dropout_rate,
                 dtype=dtype,
                 remat_mlp=remat_mlp,

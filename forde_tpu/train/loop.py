@@ -100,8 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="size of the expert mesh axis")
     p.add_argument("--context_parallelism", type=int, default=1,
                    help="size of the context mesh axis; >1 shards the "
-                        "sequence dim and routes dense attention through "
-                        "ring attention (requires --no_nsa)")
+                        "sequence dim — dense attention rides ring/zigzag "
+                        "attention, NSA uses window halo exchange "
+                        "(parallel/nsa_context.py)")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--plots_dir", type=str, default="plots")
     p.add_argument("--seed", type=int, default=42)
