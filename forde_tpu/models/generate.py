@@ -371,9 +371,32 @@ def nsa_prefill(model, variables, prompt_ids):
     return cache, logits[:, -1, :]
 
 
+def _map_cache_batch(cache, fn):
+    """Apply ``fn(leaf, batch_axis)`` to every batched cache leaf.
+
+    Under ``scan_layers=True`` the per-layer cache lives in a single
+    ``layers`` subtree whose leaves carry a leading (L,) axis (nn.scan
+    stacks the collection), so batch is axis 1 there; per-layer counters
+    are (L,) and stay untouched. Unrolled caches are batch-axis-0 with
+    scalar counters.
+    """
+    out = {}
+    for key, sub in flax.core.unfreeze(cache).items():
+        stacked = key == "layers"
+        min_nd = 2 if stacked else 1
+        out[key] = jax.tree.map(
+            lambda x: x if x.ndim < min_nd else fn(x, 1 if stacked else 0),
+            sub,
+        )
+    return out
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "max_new_tokens", "beam_size", "length_penalty"),
+    static_argnames=(
+        "model", "max_new_tokens", "beam_size", "length_penalty", "eos_id",
+        "pad_id",
+    ),
 )
 def generate_beam(
     model: FORDEDecoderLM,
@@ -382,20 +405,23 @@ def generate_beam(
     max_new_tokens: int = 32,
     beam_size: int = 4,
     length_penalty: float = 0.0,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
 ) -> jnp.ndarray:
     """Beam search over the cached decoder (another capability the
     training-only reference lacks). Standard KV-cache beam search: the
     prompt is prefilled once per beam, then each step expands every beam
     by the vocab, keeps the global top ``beam_size`` continuations, and
     reorders every cache leaf along the beam axis to follow the
-    surviving hypotheses. Returns the best beam, (B, P + max_new_tokens).
+    surviving hypotheses. Works with both layer layouts (unrolled and
+    ``scan_layers=True``). Returns the best beam, (B, P + max_new_tokens).
 
-    ``length_penalty``: scores are sum(logprob) / (length ** penalty)
-    at the end (0 = pure sum). No EOS handling — fixed-length decoding,
-    matching the samplers above.
+    ``eos_id``: beams that emit it are finished — their score freezes
+    (later steps can only append ``pad_id`` at logprob 0) and every later
+    position is ``pad_id``. ``length_penalty``: final scores are
+    sum(logprob) / (generated_length ** penalty), where a finished beam's
+    length counts tokens up to and including its EOS (0 = pure sum).
     """
-    if model.config.scan_layers:
-        raise ValueError("beam search requires scan_layers=False")
     b, p = prompt_ids.shape
     k = beam_size
     model_vars = {
@@ -416,12 +442,9 @@ def generate_beam(
         )
         cache, last_logits = updated["cache"], logits[:, -1, :]
 
-    def tile_beams(x):
-        if x.ndim == 0:
-            return x  # shared position counters
-        return jnp.repeat(x, k, axis=0)  # (B*k, ...) beam-major per row
-
-    cache = jax.tree.map(tile_beams, cache)
+    cache = _map_cache_batch(
+        cache, lambda x, ax: jnp.repeat(x, k, axis=ax)
+    )  # (B*k, ...) beam-major per row
     logprobs0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
     vocab = logprobs0.shape[-1]
     # first expansion: top-k tokens of each row seed the beams
@@ -430,15 +453,23 @@ def generate_beam(
     ids = jnp.zeros((b * k, p + max_new_tokens), jnp.int32)
     ids = ids.at[:, :p].set(jnp.repeat(prompt_ids, k, axis=0))
     ids = ids.at[:, p].set(top_tok.reshape(b * k))
+    done = jnp.zeros((b * k,), bool)
+    gen_len = jnp.ones((b * k,), jnp.int32)
+    if eos_id is not None:
+        done = ids[:, p] == eos_id
+    # finished beams may only extend with pad at logprob 0 (score frozen)
+    pad_only = jnp.full((vocab,), -jnp.inf).at[pad_id].set(0.0)
 
     def step(carry, _):
-        ids, cache, scores, cur, token = carry
+        ids, cache, scores, cur, token, done, gen_len = carry
         (logits, _), updated = model.apply(
             {**model_vars, "cache": cache}, token[:, None], None, True, True,
             mutable=["cache", "stats_buffer"],
         )
         cache = updated["cache"]
         lp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+        if eos_id is not None:
+            lp = jnp.where(done[:, None], pad_only[None, :], lp)
         # (B, k*V) candidate scores; global top-k per batch row
         cand = (scores[:, None] + lp).reshape(b, k * vocab)
         new_scores, flat_idx = jax.lax.top_k(cand, k)  # (B, k)
@@ -450,19 +481,26 @@ def generate_beam(
 
         ids = ids[gather_rows]
         ids = jax.vmap(lambda row, t: row.at[cur].set(t))(ids, new_tok)
-        cache = jax.tree.map(
-            lambda x: x if x.ndim == 0 else x[gather_rows], cache
+        cache = _map_cache_batch(
+            cache, lambda x, ax: jnp.take(x, gather_rows, axis=ax)
         )
-        return (ids, cache, new_scores.reshape(b * k), cur + 1, new_tok), None
+        done = done[gather_rows]
+        gen_len = gen_len[gather_rows] + jnp.where(done, 0, 1)
+        if eos_id is not None:
+            done = done | (new_tok == eos_id)
+        return (
+            ids, cache, new_scores.reshape(b * k), cur + 1, new_tok, done,
+            gen_len,
+        ), None
 
-    (ids, _, scores, _, _), _ = jax.lax.scan(
+    (ids, _, scores, _, _, _, gen_len), _ = jax.lax.scan(
         step,
         (ids, cache, scores, jnp.array(p + 1, jnp.int32),
-         top_tok.reshape(b * k)),
+         top_tok.reshape(b * k), done, gen_len),
         None,
         length=max_new_tokens - 1,
     )
     if length_penalty:
-        scores = scores / (float(max_new_tokens) ** length_penalty)
+        scores = scores / (gen_len.astype(jnp.float32) ** length_penalty)
     best = jnp.argmax(scores.reshape(b, k), axis=-1)  # (B,)
     return ids.reshape(b, k, -1)[jnp.arange(b), best]

@@ -302,3 +302,71 @@ def test_beam_search_nsa_config_runs():
     out = generate_beam(model, variables, prompt, max_new_tokens=4, beam_size=2)
     assert out.shape == (1, 8)
     np.testing.assert_array_equal(np.asarray(out[:, :4]), np.asarray(prompt))
+
+
+def test_beam_search_scan_layers():
+    """Beam search over the (L,)-stacked scan cache: beam_size=1 must
+    reproduce greedy cached decode token-exactly; beam_size=3 must score
+    >= greedy. Covers both layouts' cache tile/reorder (batch axis 1
+    under nn.scan)."""
+    from forde_tpu.models.generate import generate_beam, generate_cached
+
+    for nsa in (False, True):
+        cfg = tiny_config(
+            max_seq_len=32, scan_layers=True, use_sparse_attention=nsa
+        )
+        model = FORDEDecoderLM(config=cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+        )
+        prompt = jnp.asarray(
+            np.random.RandomState(11).randint(0, cfg.vocab_size, (2, 5)),
+            jnp.int32,
+        )
+        greedy = generate_cached(
+            model, variables, prompt, jax.random.PRNGKey(0), max_new_tokens=6,
+            temperature=0,
+        )
+        beam1 = generate_beam(
+            model, variables, prompt, max_new_tokens=6, beam_size=1
+        )
+        np.testing.assert_array_equal(
+            np.asarray(beam1), np.asarray(greedy), err_msg=f"nsa={nsa}"
+        )
+        beam3 = generate_beam(
+            model, variables, prompt, max_new_tokens=6, beam_size=3
+        )
+        assert beam3.shape == (2, 11)
+        np.testing.assert_array_equal(
+            np.asarray(beam3[:, :5]), np.asarray(prompt)
+        )
+
+
+def test_beam_search_eos_freezes_finished_beams():
+    """With eos_id set, every position after a beam's first EOS is pad_id,
+    and length_penalty normalizes by the per-beam generated length."""
+    from forde_tpu.models.generate import generate_beam
+
+    cfg = tiny_config(max_seq_len=32, use_sparse_attention=False)
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    prompt = jnp.asarray(
+        np.random.RandomState(3).randint(1, cfg.vocab_size, (2, 4)), jnp.int32
+    )
+    # pick the eos token from an unconstrained run so it actually fires
+    free = np.asarray(
+        generate_beam(model, variables, prompt, max_new_tokens=6, beam_size=2)
+    )
+    eos = int(free[0, 4])  # first generated token of row 0's best beam
+    out = np.asarray(
+        generate_beam(
+            model, variables, prompt, max_new_tokens=6, beam_size=2,
+            eos_id=eos, pad_id=0, length_penalty=0.5,
+        )
+    )
+    assert out.shape == (2, 10)
+    for row in out:
+        gen = row[4:]
+        hits = np.nonzero(gen == eos)[0]
+        if hits.size:
+            assert (gen[hits[0] + 1:] == 0).all(), row
