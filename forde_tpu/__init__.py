@@ -4,7 +4,11 @@ Public API re-exports for the most-used entry points; see subpackages for
 the full surface (core, ops, nn, models, brain, parallel, data, train, obs).
 """
 
-from forde_tpu.core.config import (  # noqa: F401
+from forde_tpu.core.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from forde_tpu.core.config import (  # noqa: F401,E402
     BrainConfig,
     DTypePolicy,
     DualEncoderConfig,
@@ -15,7 +19,7 @@ from forde_tpu.core.config import (  # noqa: F401
     vit_b16_config,
     vit_tiny_config,
 )
-from forde_tpu.core.mesh import (  # noqa: F401
+from forde_tpu.core.mesh import (  # noqa: F401,E402
     AXIS_CONTEXT,
     AXIS_DATA,
     AXIS_EXPERT,
