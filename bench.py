@@ -5,18 +5,30 @@ Measures the full FORDE dual-encoder fast loop (forward + contrastive loss
 available chip(s), against the BASELINE.json north-star target of 10,000
 pairs/sec/chip on v5e.
 
-By default runs BOTH production presets — ViT-B/16 (batch 128) as the
-headline and ViT-Ti (batch 512, the scale where the 10k target is
-physically reachable, see PERF.md roofline) — and prints ONE JSON line:
+By default runs the production presets — ViT-B/16 (batch 128) as the
+headline, ViT-Ti (batch 512, the scale where the 10k target is
+physically reachable, see PERF.md roofline) and ViT-Ti-hd128 (the
+head_dim=128 single-head tower variant, the round-2 study's named
+lever) — and prints ONE JSON line:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+All preset rates are measured with FULL per-step FORDE sensing
+(activation stats in the forward + grad-stat taps in the backward),
+the reference-parity fast loop. The `extra` dict additionally reports
+a `_sense8` rate for the headline: the production sensing stride
+(--sense_interval 8, train/clip_loop.py) which pays the stat-reduction
+bytes every 8th step — same optimization trajectory (the taps are
+identity on the forward; tests/test_sense_stride.py), time-averaged
+slow-loop inputs unchanged in expectation.
 
 Adam moments are stored in bfloat16 (the production config —
 train/optim.py halves optimizer HBM traffic, measured +2% step rate;
 BENCH_MOMENT_DTYPE=float32 restores exact optax.adamw).
 
-Env knobs: BENCH_PRESET (vit_b16|tiny|both), BENCH_BATCH, BENCH_STEPS,
-BENCH_REMAT, BENCH_MOMENT_DTYPE.
+Env knobs: BENCH_PRESET (vit_b16|tiny|tiny_hd128|both), BENCH_BATCH,
+BENCH_STEPS, BENCH_REMAT, BENCH_MOMENT_DTYPE, BENCH_SENSE_STRIDE=0
+to skip the strided extra.
 """
 
 from __future__ import annotations
@@ -33,15 +45,30 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 10_000.0
-DEFAULT_BATCH = {"vit_b16": 128, "tiny": 512}
+DEFAULT_BATCH = {"vit_b16": 128, "tiny": 512, "tiny_hd128": 512}
 
 
-def run_preset(preset: str, batch_size: int, steps: int) -> float:
-    from forde_tpu.core.config import DTypePolicy, vit_b16_config, vit_tiny_config
-    from forde_tpu.train.clip_step import clip_train_step, create_clip_train_state
+def run_preset(
+    preset: str, batch_size: int, steps: int, sense_interval: int = 1
+) -> float:
+    from forde_tpu.core.config import (
+        DTypePolicy,
+        vit_b16_config,
+        vit_tiny_config,
+        vit_tiny_hd128_config,
+    )
+    from forde_tpu.train.clip_step import (
+        clip_train_step,
+        create_clip_train_state,
+        make_nosense_step,
+    )
 
     text_len = 64
-    cfg = (vit_b16_config() if preset == "vit_b16" else vit_tiny_config())
+    cfg = {
+        "vit_b16": vit_b16_config,
+        "tiny": vit_tiny_config,
+        "tiny_hd128": vit_tiny_hd128_config,
+    }[preset]()
     cfg = cfg.replace(dtypes=DTypePolicy.bf16(), forde_lite=False)
     if os.environ.get("BENCH_REMAT"):
         cfg = cfg.replace(remat=os.environ["BENCH_REMAT"])
@@ -66,16 +93,23 @@ def run_preset(preset: str, batch_size: int, steps: int) -> float:
         "attention_mask": jnp.ones((batch_size, text_len), jnp.int32),
     }
 
+    nosense = make_nosense_step(cfg) if sense_interval > 1 else None
+
+    def one_step(i, state):
+        if nosense is not None and i % sense_interval:
+            return nosense(state, batch)
+        return clip_train_step(state, batch)
+
     # Warmup / compile. NOTE: force completion with a host transfer
     # (float()); block_until_ready does not reliably synchronize through
     # the axon TPU tunnel.
-    for _ in range(2):
-        state, metrics = clip_train_step(state, batch)
+    for i in range(2 if nosense is None else 2 * sense_interval):
+        state, metrics = one_step(i, state)
     float(metrics["loss/contrastive"])
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = clip_train_step(state, batch)
+    for i in range(steps):
+        state, metrics = one_step(i, state)
     loss_sync = float(metrics["loss/contrastive"])
     dt = time.perf_counter() - t0
 
@@ -86,7 +120,9 @@ def run_preset(preset: str, batch_size: int, steps: int) -> float:
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "both")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    presets = ["vit_b16", "tiny"] if preset == "both" else [preset]
+    presets = (
+        ["vit_b16", "tiny", "tiny_hd128"] if preset == "both" else [preset]
+    )
 
     rates = {}
     for p in presets:
@@ -94,6 +130,12 @@ def main() -> None:
         rates[p] = round(run_preset(p, batch, steps), 2)
 
     headline = presets[0]
+    stride = int(os.environ.get("BENCH_SENSE_STRIDE", "8"))
+    if stride > 1:
+        batch = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[headline]))
+        rates[f"{headline}_sense8"] = round(
+            run_preset(headline, batch, max(steps, 2 * stride), stride), 2
+        )
     out = {
         "metric": f"image_text_pairs_per_sec_per_chip_{headline}_bf16",
         "value": rates[headline],

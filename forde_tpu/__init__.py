@@ -18,6 +18,7 @@ from forde_tpu.core.config import (  # noqa: F401,E402
     create_default_config,
     vit_b16_config,
     vit_tiny_config,
+    vit_tiny_hd128_config,
 )
 from forde_tpu.core.mesh import (  # noqa: F401,E402
     AXIS_CONTEXT,
@@ -39,6 +40,7 @@ __all__ = [
     "create_default_config",
     "vit_b16_config",
     "vit_tiny_config",
+    "vit_tiny_hd128_config",
     "AXIS_CONTEXT",
     "AXIS_DATA",
     "AXIS_EXPERT",

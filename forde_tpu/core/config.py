@@ -191,6 +191,12 @@ class DualEncoderConfig:
     # StatefulLayer, whose two (B, S, mlp_hidden) intermediates are the
     # largest per-block tensors — the cheap way to unlock bigger batches.
     remat: object = False
+    # FORDE sensing (activation stats + gradient taps) in the fast loop.
+    # False builds towers with no stats_buffer/perturbations variables —
+    # used by the sensing-stride train step (train/clip_step.py), which
+    # alternates sensed and unsensed steps so the stat reductions' HBM
+    # passes are paid only every `sense_interval`-th step.
+    sense: bool = True
     dtypes: DTypePolicy = field(default_factory=DTypePolicy)
 
     def replace(self, **kw) -> "DualEncoderConfig":
@@ -233,6 +239,34 @@ def vit_tiny_config() -> DualEncoderConfig:
 # Config (de)serialization — lets a checkpoint carry its model shape so
 # serving never needs hand-matched flags (forde_tpu/serve.py).
 # ---------------------------------------------------------------------------
+
+
+def vit_tiny_hd128_config() -> DualEncoderConfig:
+    """ViT-Ti-scale towers with a single 128-wide attention head.
+
+    Same d_model/depth/MLP as vit_tiny_config, but H=1/D=128 instead of
+    H=3/D=64: the fused-MHA kernel then runs one lane-perfect (S, 128)
+    matmul chain per element instead of three half-lane (S, 64) ones and
+    a third of the (S, S) softmax traffic. Measured 9,155 vs 6,740
+    pairs/s/chip at batch 512 (benchmarks/tiny_levers.py, v5e) — the
+    head_dim=128 lever the round-2 study predicted (PERF.md). A
+    different architecture (fewer attention params), so it is a separate
+    preset, not a silent change to vit_tiny_config.
+    """
+    return DualEncoderConfig(
+        image_size=224,
+        patch_size=16,
+        vision=TowerConfig(
+            d_model=192, num_layers=12, num_heads=1, head_dim=128,
+            mlp_hidden_dim=768,
+        ),
+        text=TowerConfig(
+            d_model=192, num_layers=2, num_heads=1, head_dim=128,
+            mlp_hidden_dim=768,
+        ),
+        embed_dim=192,
+        forde_lite=True,
+    )
 
 
 def config_to_dict(cfg) -> dict:

@@ -93,6 +93,7 @@ class VisionTransformer(nn.Module):
                 dropout_rate=tw.dropout_rate,
                 dtype=dtype,
                 remat_mlp=remat_mlp,
+                sense=cfg.sense,
                 name=f"block_{i}",
             )(x, None, deterministic)
 
@@ -154,6 +155,7 @@ class TextTransformer(nn.Module):
                 dropout_rate=tw.dropout_rate,
                 dtype=dtype,
                 remat_mlp=remat_mlp,
+                sense=cfg.sense,
                 name=f"block_{i}",
             )(x, attention_mask, deterministic)
 

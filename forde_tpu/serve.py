@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--beam_size", type=int, default=0,
                    help="> 1 switches to beam search (overrides sampling)")
+    p.add_argument("--eos_id", type=int, default=None,
+                   help="stop a row once it emits this token (the rest "
+                        "is --pad_id)")
+    p.add_argument("--pad_id", type=int, default=0)
+    p.add_argument("--length_penalty", type=float, default=0.0,
+                   help="beam search: scores / generated_len**penalty "
+                        "(only meaningful with --eos_id)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -144,12 +151,14 @@ def main(argv: Optional[list] = None) -> None:
         out = generate_beam(
             model, variables, jnp.asarray(ids),
             max_new_tokens=args.max_new_tokens, beam_size=args.beam_size,
+            length_penalty=args.length_penalty,
+            eos_id=args.eos_id, pad_id=args.pad_id,
         )
     else:
         out = generate_cached(
             model, variables, jnp.asarray(ids), jax.random.PRNGKey(args.seed),
             max_new_tokens=args.max_new_tokens, temperature=args.temperature,
-            top_k=args.top_k,
+            top_k=args.top_k, eos_id=args.eos_id, pad_id=args.pad_id,
         )
     out = np.asarray(out)[0]
     print("token ids:", out.tolist())

@@ -26,6 +26,7 @@ from forde_tpu.core.config import (
     DualEncoderConfig,
     vit_b16_config,
     vit_tiny_config,
+    vit_tiny_hd128_config,
 )
 from forde_tpu.data.prefetch import prefetch_to_device
 from forde_tpu.data.vl import (
@@ -39,12 +40,17 @@ from forde_tpu.obs.metrics import MetricsWriter, ThroughputMeter
 from forde_tpu.obs.plots import plot_brain_scan, plot_census, plot_feature_space
 from forde_tpu.obs.retrieval import evaluate_retrieval
 from forde_tpu.train import checkpoint as ckpt_lib
-from forde_tpu.train.clip_step import clip_train_step, create_clip_train_state
+from forde_tpu.train.clip_step import (
+    clip_train_step,
+    create_clip_train_state,
+    make_nosense_step,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train the FORDE dual encoder")
-    p.add_argument("--preset", choices=["tiny", "vit_b16", "custom"],
+    p.add_argument("--preset",
+                   choices=["tiny", "tiny_hd128", "vit_b16", "custom"],
                    default="tiny")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--text_len", type=int, default=64)
@@ -56,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_steps", type=int, default=1000)
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--slow_loop_interval", type=int, default=100)
+    p.add_argument("--sense_interval", type=int, default=1,
+                   help="run FORDE sensing every k-th step (1 = every "
+                        "step, reference parity). The stat reductions "
+                        "cost ~29%% of a ViT-B step (PERF.md round 3); "
+                        "the slow loop consumes time-averaged stats, so "
+                        "k>1 trades sensing sample count for throughput "
+                        "with the same optimization trajectory "
+                        "(tests/test_sense_stride.py).")
     p.add_argument("--forde_lite", action="store_true",
                    help="rule-based assignments instead of GMM (README.md:58)")
     p.add_argument("--gmm", action="store_true",
@@ -90,6 +104,8 @@ def config_from_args(args) -> DualEncoderConfig:
         cfg = vit_b16_config()
     elif args.preset == "tiny":
         cfg = vit_tiny_config()
+    elif args.preset == "tiny_hd128":
+        cfg = vit_tiny_hd128_config()
     else:
         cfg = DualEncoderConfig(
             image_size=args.image_size,
@@ -205,6 +221,9 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             # eval; training never sees them (VERDICT r1 item 7).
             eval_batches, dataset = hold_out_eval(dataset, args.eval_batches)
 
+    nosense_step = (
+        make_nosense_step(cfg) if args.sense_interval > 1 else None
+    )
     meter = ThroughputMeter(items_per_step=args.batch_size)
     sharding = mesh_lib.batch_sharding(mesh)
     step = int(state.step)
@@ -214,7 +233,10 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         jax.profiler.start_trace(args.profile_dir)
     try:
         for batch in prefetch_to_device(iter(dataset), sharding=sharding):
-            state, metrics = clip_train_step(state, batch)
+            if nosense_step is not None and step % args.sense_interval:
+                state, metrics = nosense_step(state, batch)
+            else:
+                state, metrics = clip_train_step(state, batch)
             step += 1
             if meter._steps == 0:
                 print(f"first step dispatched at step {step}", flush=True)

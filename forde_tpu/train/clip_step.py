@@ -18,6 +18,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import core
 from flax.training import train_state
 
@@ -116,14 +117,61 @@ def clip_train_step(
         grad_stats=new_grad_stats,
         grad_step_count=state.grad_step_count + 1,
     )
-    import optax
-
     out = {
         "loss/contrastive": loss,
         "training/grad_norm": optax.global_norm(grads),
         **metrics,
     }
     return new_state, out
+
+
+def make_nosense_step(config: DualEncoderConfig):
+    """Jitted contrastive step with sensing compiled OUT — the other half
+    of the sensing stride.
+
+    FORDE sensing (three fp32 moment reductions over every StatefulLayer's
+    (B, S, F) pre-activation in the forward + the grad-tap reductions in
+    the backward) profiles at ~29% of the ViT-B/128 step (the
+    convert/multiply_reduce fusions, PERF.md round-3). The slow loop only
+    consumes time-AVERAGED statistics over `slow_loop_interval` (default
+    100) steps, so sensing every k-th step leaves the brain update's
+    inputs statistically unchanged while paying the reduction bytes once
+    per k steps. The stride alternates `clip_train_step` (sensed) with
+    this step (unsensed): stats_buffer / grad_stats / grad_step_count
+    pass through untouched, so the existing normalize-by-step_count
+    contract (brain/neuron_slow_loop.py) needs no change.
+
+    In-step subsampling was the round-2 negative (strided/prefix slices
+    break producer fusion: 6,663 -> 4,947 pairs/s, nn/stateful.py NOTE);
+    striding across steps sidesteps that entirely — both variants are
+    separately compiled whole-step programs.
+    """
+    model = FORDEDualEncoder(config=config.replace(sense=False))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: CLIPTrainState, batch: Dict):
+        def loss_fn(params):
+            img_emb, txt_emb, logit_scale = model.apply(
+                {"params": params, "brain": state.brain},
+                batch["image"],
+                batch["input_ids"],
+                batch.get("attention_mask"),
+            )
+            loss, metrics = clip_contrastive_loss(img_emb, txt_emb, logit_scale)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        out = {
+            "loss/contrastive": loss,
+            "training/grad_norm": optax.global_norm(grads),
+            **metrics,
+        }
+        return new_state, out
+
+    return step
 
 
 @jax.jit

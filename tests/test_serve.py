@@ -82,3 +82,25 @@ def test_serve_main_generates_from_prompt_ids(tmp_path, capsys, monkeypatch):
     ids = eval(out.split("token ids:")[1].splitlines()[0])
     assert ids[:3] == [5, 17, 20]
     assert len(ids) == 7
+
+
+def test_serve_eos_id_stops_and_pads(capsys):
+    """--eos_id plumbs through to generate_cached (VERDICT r2 #9: the
+    serving CLI must stop at EOS). Greedy decoding from a fixed seed is
+    deterministic, so run once without --eos_id, pick the first generated
+    token as the "EOS", and re-run: every position after (and including
+    nothing before) the first occurrence must be --pad_id."""
+    from forde_tpu import serve
+
+    shape = ["--d_model", "32", "--num_layers", "1", "--num_heads", "2",
+             "--num_experts", "2", "--window_size", "8", "--seq_len", "32"]
+    base = ["--prompt_ids", "5,17,20", "--max_new_tokens", "4",
+            "--temperature", "0", *shape]
+    serve.main(base)
+    free = eval(capsys.readouterr().out.split("token ids:")[1].splitlines()[0])
+    eos = free[3]  # first generated token under greedy
+    serve.main([*base, "--eos_id", str(eos), "--pad_id", "99"])
+    out = eval(capsys.readouterr().out.split("token ids:")[1].splitlines()[0])
+    assert out[:3] == [5, 17, 20]
+    assert out[3] == eos  # the EOS token itself is kept
+    assert out[4:] == [99] * (len(out) - 4)  # everything after is pad
