@@ -16,11 +16,45 @@ Enabled automatically on ``import forde_tpu``. Opt out or redirect with:
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "forde_tpu", "xla"
 )
+
+
+def _host_fingerprint() -> str:
+    """Cache-partitioning key for this host's executable format.
+
+    XLA:CPU serializes AOT executables specialized to the compiling
+    machine's CPU features; loading one on a host with different
+    features SIGILLs/segfaults (observed: a cache written on an
+    avx512-full host crashed pytest on a host without prefer-no-scatter
+    support — the cache key does NOT include machine features). TPU
+    executables are tied to jaxlib/runtime versions the same way. So the
+    cache lives in a subdirectory keyed by (arch, python, jax, jaxlib,
+    /proc/cpuinfo flags); a different host simply starts a fresh cache.
+    """
+    import platform as _platform
+
+    parts = [_platform.machine(), _platform.python_version()]
+    for mod in ("jax", "jaxlib"):
+        try:
+            parts.append(
+                mod + __import__(mod).__version__
+            )
+        except Exception:
+            parts.append(mod + "?")
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_persistent_cache() -> str | None:
@@ -32,7 +66,8 @@ def enable_persistent_cache() -> str | None:
     knob = os.environ.get("FORDE_COMPILE_CACHE", "")
     if knob in ("0", "false", "off", "no"):
         return None
-    cache_dir = knob if knob and os.path.sep in knob else _DEFAULT_DIR
+    base = knob if knob and os.path.sep in knob else _DEFAULT_DIR
+    cache_dir = os.path.join(base, _host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         import jax

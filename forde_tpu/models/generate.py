@@ -337,18 +337,37 @@ def nsa_prefill(model, variables, prompt_ids):
             lc["comp_chunk_sum"] = jnp.sum(tail, axis=1, dtype=jnp.float32)
 
         if "topk_scores" in lc:
-            scores = dense(x, lp["importance_scorer"])[..., 0]  # (B, P)
-            lc["topk_scores"] = lc["topk_scores"].at[:, :p].set(
-                scores.astype(jnp.float32)
-            )
-            tk = split_heads(dense(x, lp["topk_k_proj"]))
+            # Running top-k set (O(k) cache): replay the same insertion
+            # the streaming decode step performs, once per prompt
+            # position, so the prefill cache is leaf-exact against
+            # token-by-token streaming (set AND slot order).
+            from forde_tpu.nn.attention import topk_insert
+
+            scores = dense(x, lp["importance_scorer"])[..., 0].astype(
+                jnp.float32
+            )  # (B, P)
+            tk = split_heads(dense(x, lp["topk_k_proj"]))  # (B, H, P, d)
             tv = split_heads(dense(x, lp["topk_v_proj"]))
-            lc["topk_k"] = lc["topk_k"].at[:, :, :p].set(
-                tk.astype(lc["topk_k"].dtype)
+
+            def insert(carry, t):
+                return (
+                    topk_insert(
+                        carry, scores[:, t],
+                        jax.lax.dynamic_slice_in_dim(tk, t, 1, axis=2),
+                        jax.lax.dynamic_slice_in_dim(tv, t, 1, axis=2),
+                        t,
+                    ),
+                    None,
+                )
+
+            (sc, ix, kk, vv), _ = jax.lax.scan(
+                insert,
+                (lc["topk_scores"], lc["topk_idx"],
+                 lc["topk_k"], lc["topk_v"]),
+                jnp.arange(p),
             )
-            lc["topk_v"] = lc["topk_v"].at[:, :, :p].set(
-                tv.astype(lc["topk_v"].dtype)
-            )
+            lc["topk_scores"], lc["topk_idx"] = sc, ix
+            lc["topk_k"], lc["topk_v"] = kk, vv
         return lc
 
     cache["pos_index"] = jnp.asarray(p, jnp.int32)

@@ -52,6 +52,31 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+def topk_insert(state, new_score, new_k, new_v, pos):
+    """One insertion into the running top-k set of the NSA decode cache.
+
+    ``state = (scores (B,K) f32, idxs (B,K) i32, k (B,H,K,d), v)``;
+    ``new_score (B,)``, ``new_k/new_v (B,H,1,d)``, ``pos`` scalar source
+    position. The new entry replaces the set's minimum iff strictly
+    greater (ties keep the earlier index — the same winner as
+    ``lax.top_k``'s stable ordering over the full prefix). Shared by the
+    per-token decode step and the parallel-prefill scan
+    (models/generate.nsa_prefill) so prefill caches are LEAF-EXACT
+    against token-by-token streaming — same kept set, same slot order.
+    """
+    scores, idxs, kk, vv = state
+    slot = jnp.argmin(scores, axis=1)  # (B,) first minimum
+    min_score = jnp.take_along_axis(scores, slot[:, None], axis=1)[:, 0]
+    accept = new_score > min_score  # (B,)
+    upd = jax.nn.one_hot(slot, scores.shape[1], dtype=bool) & accept[:, None]
+    scores = jnp.where(upd, new_score[:, None], scores)
+    idxs = jnp.where(upd, jnp.asarray(pos, jnp.int32), idxs)
+    sel = upd[:, None, :, None]  # (B,1,K,1): broadcast over heads/depth
+    kk = jnp.where(sel, new_k.astype(kk.dtype), kk)
+    vv = jnp.where(sel, new_v.astype(vv.dtype), vv)
+    return scores, idxs, kk, vv
+
+
 class SlidingWindowAttention(nn.Module):
     """Causal sliding-window attention (reference sparse_attention.py:51-104),
     computed with the block-sparse flash kernel — work outside the window is
@@ -444,17 +469,35 @@ class NativeSparseAttention(nn.Module):
         return nn.Dense(d_model, name="compressed_out_proj", dtype=self.dtype)(out)
 
     def _top_k_decode(self, x, cur, b, d_model):
+        """Running top-k set: O(k) memory and per-step work, NOT
+        O(max_decode_len).
+
+        Importance scores are write-once per position, so the global
+        top-k over the prefix can be maintained INCREMENTALLY and
+        exactly: a new token either replaces the current minimum of the
+        kept set (strictly greater — ties keep the earlier index, the
+        same preference as ``lax.top_k``'s stable ordering) or is
+        dropped forever. Only the kept k projected K/V rows are stored;
+        round 2 kept every row ((B, H, max_decode_len, d) buffers) and
+        re-ran ``lax.top_k`` over all scores each step.
+        """
         h, d = self.num_heads, self.head_dim
-        max_len = self.max_decode_len
+        k_sel = min(self.top_k_global, self.max_decode_len)
         scores = self.variable(
             "cache", "topk_scores",
-            lambda: jnp.full((b, max_len), -jnp.inf, jnp.float32),
+            lambda: jnp.full((b, k_sel), -jnp.inf, jnp.float32),
+        )
+        # source position of each kept row; empty slots sit at
+        # max_decode_len (> any cur) so the key_pos mask kills them.
+        idxs = self.variable(
+            "cache", "topk_idx",
+            lambda: jnp.full((b, k_sel), self.max_decode_len, jnp.int32),
         )
         topk_k = self.variable(
-            "cache", "topk_k", lambda: jnp.zeros((b, h, max_len, d), self.dtype)
+            "cache", "topk_k", lambda: jnp.zeros((b, h, k_sel, d), self.dtype)
         )
         topk_v = self.variable(
-            "cache", "topk_v", lambda: jnp.zeros((b, h, max_len, d), self.dtype)
+            "cache", "topk_v", lambda: jnp.zeros((b, h, k_sel, d), self.dtype)
         )
 
         importance = nn.Dense(1, name="importance_scorer", dtype=self.dtype)(
@@ -469,32 +512,20 @@ class NativeSparseAttention(nn.Module):
             v_proj(x)
             return jnp.zeros_like(x)
 
-        scores.value = jax.lax.dynamic_update_slice(
-            scores.value, importance.astype(jnp.float32), (0, cur)
-        )
         new_k = _split_heads(k_proj(x), h, d)
         new_v = _split_heads(v_proj(x), h, d)
-        topk_k.value = jax.lax.dynamic_update_slice(
-            topk_k.value, new_k, (0, 0, cur, 0)
+        sc, ix, kk, vv = topk_insert(
+            (scores.value, idxs.value, topk_k.value, topk_v.value),
+            importance[:, 0].astype(jnp.float32), new_k, new_v, cur,
         )
-        topk_v.value = jax.lax.dynamic_update_slice(
-            topk_v.value, new_v, (0, 0, cur, 0)
-        )
+        scores.value, idxs.value = sc, ix
+        topk_k.value, topk_v.value = kk, vv
 
-        k_sel = min(self.top_k_global, max_len)
-        _, idx = jax.lax.top_k(scores.value, k_sel)  # (B, k)
-        # gather the selected rows along the time axis
-        gather = jax.vmap(  # over batch
-            lambda kv, i: jnp.take(kv, i, axis=1), in_axes=(0, 0)
-        )
-        kk = gather(topk_k.value, idx)  # (B, H, k, d)
-        vv = gather(topk_v.value, idx)
-        # index-based causal mask: selected token j visible iff cur >= its
+        # index-based causal mask: kept row j visible iff cur >= its
         # source index (thresholds shifted by -cur for the position-0
-        # query); never-written slots keep -inf scores AND indices beyond
-        # cur, so they are masked out here too.
+        # query); empty slots sit at max_decode_len and are masked.
         out = small_kv_attention(
-            _split_heads(q, h, d), kk, vv, idx - cur, impl=self.impl
+            _split_heads(q, h, d), kk, vv, ix - cur, impl=self.impl
         )
         out = _merge_heads(out).astype(x.dtype)
         return nn.Dense(d_model, name="topk_out_proj", dtype=self.dtype)(out)

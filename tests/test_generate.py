@@ -370,3 +370,43 @@ def test_beam_search_eos_freezes_finished_beams():
         hits = np.nonzero(gen == eos)[0]
         if hits.size:
             assert (gen[hits[0] + 1:] == 0).all(), row
+
+
+def test_topk_insert_matches_global_top_k():
+    """The running top-k set (nn/attention.topk_insert, O(k) decode
+    cache) keeps exactly the same source positions as lax.top_k over the
+    full score prefix, at every stream length — including the underfull
+    regime (t < k) and a k/v payload that tracks the kept set."""
+    from forde_tpu.nn.attention import topk_insert
+
+    b, h, d, k, t_max = 3, 2, 4, 5, 23
+    rng = np.random.RandomState(7)
+    scores = jnp.asarray(rng.randn(b, t_max), jnp.float32)
+    ks = jnp.asarray(rng.randn(b, h, t_max, d), jnp.float32)
+    vs = jnp.asarray(rng.randn(b, h, t_max, d), jnp.float32)
+
+    state = (
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.full((b, k), t_max, jnp.int32),
+        jnp.zeros((b, h, k, d), jnp.float32),
+        jnp.zeros((b, h, k, d), jnp.float32),
+    )
+    for t in range(t_max):
+        state = topk_insert(
+            state, scores[:, t], ks[:, :, t : t + 1], vs[:, :, t : t + 1], t
+        )
+        sc, ix, kk, vv = state
+        _, want = jax.lax.top_k(scores[:, : t + 1], min(k, t + 1))
+        for row in range(b):
+            kept = np.asarray(ix[row])
+            kept = np.sort(kept[kept < t_max])  # drop empty slots
+            np.testing.assert_array_equal(kept, np.sort(np.asarray(want[row])))
+            # payload rows must be the k/v of the kept positions
+            for slot, src in enumerate(np.asarray(ix[row])):
+                if src < t_max:
+                    np.testing.assert_array_equal(
+                        np.asarray(kk[row, :, slot]), np.asarray(ks[row, :, src])
+                    )
+                    np.testing.assert_array_equal(
+                        np.asarray(vv[row, :, slot]), np.asarray(vs[row, :, src])
+                    )
