@@ -133,7 +133,7 @@ def main() -> None:
     stride = int(os.environ.get("BENCH_SENSE_STRIDE", "8"))
     if stride > 1:
         batch = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[headline]))
-        rates[f"{headline}_sense8"] = round(
+        rates[f"{headline}_sense{stride}"] = round(
             run_preset(headline, batch, max(steps, 2 * stride), stride), 2
         )
     out = {

@@ -70,14 +70,18 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    from forde_tpu.core.config import DTypePolicy, TowerConfig, vit_tiny_config
+    from forde_tpu.core.config import (
+        DTypePolicy,
+        TowerConfig,
+        vit_tiny_config,
+        vit_tiny_hd128_config,
+    )
 
     base = vit_tiny_config().replace(dtypes=DTypePolicy.bf16(), forde_lite=False)
-    hd128 = base.replace(
-        vision=TowerConfig(d_model=192, num_layers=12, num_heads=1,
-                           head_dim=128, mlp_hidden_dim=768),
-        text=TowerConfig(d_model=192, num_layers=2, num_heads=1,
-                         head_dim=128, mlp_hidden_dim=768),
+    # the shipped preset itself, so this benchmark always measures what
+    # bench.py ships (not a hand-copied twin that could drift)
+    hd128 = vit_tiny_hd128_config().replace(
+        dtypes=DTypePolicy.bf16(), forde_lite=False
     )
     hd96 = base.replace(
         vision=TowerConfig(d_model=192, num_layers=12, num_heads=2,

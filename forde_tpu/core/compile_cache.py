@@ -66,7 +66,9 @@ def enable_persistent_cache() -> str | None:
     knob = os.environ.get("FORDE_COMPILE_CACHE", "")
     if knob in ("0", "false", "off", "no"):
         return None
-    base = knob if knob and os.path.sep in knob else _DEFAULT_DIR
+    # any other non-empty, non-boolean value is a directory (relative
+    # names included — "jaxcache" must not silently fall back to ~/.cache)
+    base = knob if knob not in ("", "1", "true", "on", "yes") else _DEFAULT_DIR
     cache_dir = os.path.join(base, _host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -69,10 +69,13 @@ def maybe_initialize_distributed() -> bool:
     """
     import os
 
-    from jax._src import distributed as jax_distributed
+    try:  # private, but the only pre-init "already joined?" probe
+        from jax._src import distributed as jax_distributed
 
-    if jax_distributed.global_state.client is not None:
-        return True  # already initialized
+        if jax_distributed.global_state.client is not None:
+            return True  # already initialized
+    except (ImportError, AttributeError):
+        pass  # jax moved the internals; fall through to initialize()
     # NOTE: must not touch jax.process_count()/jax.devices() here — any
     # backend-initializing call before jax.distributed.initialize() makes
     # the join impossible (initialize() raises).
@@ -84,6 +87,12 @@ def maybe_initialize_distributed() -> bool:
         # Explicit bootstrap (no cluster auto-detect env, e.g. the local
         # 2-process CPU test): coordinator + process_id/num_processes.
         if os.environ.get("JAX_NUM_PROCESSES"):
+            if not os.environ.get("JAX_PROCESS_ID"):
+                raise RuntimeError(
+                    "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not — "
+                    "explicit bootstrap needs JAX_COORDINATOR_ADDRESS, "
+                    "JAX_NUM_PROCESSES, and a per-worker JAX_PROCESS_ID"
+                )
             kw = dict(
                 coordinator_address=addr,
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

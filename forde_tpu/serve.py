@@ -92,12 +92,15 @@ def main(argv: Optional[list] = None) -> None:
 
     config = None
     moment_dtype = None
+    warmup_steps = 0
     if args.checkpoint_dir:
         from forde_tpu.train.checkpoint import load_model_config, load_train_meta
 
         config = load_model_config(args.checkpoint_dir)
         if config is not None:
-            moment_dtype = load_train_meta(args.checkpoint_dir).get("moment_dtype")
+            meta = load_train_meta(args.checkpoint_dir)
+            moment_dtype = meta.get("moment_dtype")
+            warmup_steps = int(meta.get("warmup_steps", 0) or 0)
             print(f"[serve] model config loaded from "
                   f"{args.checkpoint_dir}/model_config.json")
     if config is None:
@@ -112,9 +115,11 @@ def main(argv: Optional[list] = None) -> None:
     state = create_train_state(
         config, rng, learning_rate=1e-4, weight_decay=0.0,
         init_batch_shape=(1, min(args.seq_len, config.max_seq_len)),
-        # match the saved opt-state structure (bf16 moments etc.) so
-        # Orbax StandardRestore sees an identical tree
+        # match the saved opt-state structure (bf16 moments, the
+        # warmup schedule's count leaf) so Orbax StandardRestore sees
+        # an identical tree
         moment_dtype=moment_dtype,
+        warmup_steps=warmup_steps,
     )
     if args.checkpoint_dir:
         from forde_tpu.train.checkpoint import restore_checkpoint

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Optional
 
 import orbax.checkpoint as ocp
@@ -74,12 +75,39 @@ class CheckpointManager:
         if step in (self._mgr.all_steps() or []):
             # final force-save often coincides with an interval save;
             # orbax raises StepAlreadyExistsError rather than no-op. A
-            # forced save REPLACES the existing step (delete then save) so
-            # re-saving updated state to the same step is possible.
+            # forced save REPLACES the existing step — but never
+            # delete-then-write (a crash mid-write would destroy the only
+            # copy): the new state is written to a sibling temp manager
+            # first, and only once it is durable on disk is the old step
+            # swapped out (delete + atomic rename of the finished dir).
             if not force:
                 return False
             self._mgr.wait_until_finished()
+            root = str(self._mgr.directory)
+            tmp_root = os.path.join(root, f"_replace_{step}")
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            tmp_mgr = ocp.CheckpointManager(
+                tmp_root,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, enable_async_checkpointing=False
+                ),
+            )
+            try:
+                ok = tmp_mgr.save(step, args=ocp.args.StandardSave(state))
+                tmp_mgr.wait_until_finished()
+            finally:
+                tmp_mgr.close()
+            if not ok:
+                shutil.rmtree(tmp_root, ignore_errors=True)
+                return False
             self._mgr.delete(step)
+            os.replace(
+                os.path.join(tmp_root, str(step)),
+                os.path.join(root, str(step)),
+            )
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            self._mgr.reload()  # re-scan steps from disk
+            return True
         return self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

@@ -154,7 +154,10 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         manager = ckpt_lib.CheckpointManager(args.checkpoint_dir, keep=2)
         ckpt_lib.save_model_config(
             args.checkpoint_dir, cfg,
-            train_meta={"moment_dtype": args.moment_dtype},
+            train_meta={
+                "moment_dtype": args.moment_dtype,
+                "warmup_steps": args.warmup_steps,
+            },
         )
         if args.resume and manager.latest_step() is not None:
             state = manager.restore(state)

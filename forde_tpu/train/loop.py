@@ -191,7 +191,14 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         manager = ckpt_lib.CheckpointManager(args.checkpoint_dir, keep=2)
         ckpt_lib.save_model_config(
             args.checkpoint_dir, config,
-            train_meta={"moment_dtype": args.moment_dtype},
+            train_meta={
+                # everything that shapes the SAVED STATE's tree structure
+                # (serve.py must rebuild an identical one to restore):
+                # bf16 moments change leaf dtypes, warmup swaps the LR
+                # scale for a stateful schedule (ScaleByScheduleState).
+                "moment_dtype": args.moment_dtype,
+                "warmup_steps": args.warmup_steps,
+            },
         )
         if args.resume and manager.latest_step() is not None:
             state = manager.restore(state)

@@ -80,3 +80,67 @@ def test_train_cli_smoke_with_slow_loop(tmp_path, capsys):
     mgr = ckpt_lib.CheckpointManager(str(tmp_path / "ckpt"))
     assert mgr.latest_step() == 6
     mgr.close()
+
+
+def _tiny_cfg():
+    return LLMConfig(
+        vocab_size=128, d_model=32, num_layers=1, num_heads=2, head_dim=16,
+        max_seq_len=64, num_experts=2, top_k_experts=1, expert_hidden_dim=32,
+        window_size=16, compression_ratio=4, top_k_global=8, num_streams=2,
+        sinkhorn_iterations=2, dropout_rate=0.0, attention_impl="reference",
+    )
+
+
+def test_checkpoint_force_save_replaces_existing_step(tmp_path):
+    """force=True at an existing step replaces it with the NEW state
+    (write-then-swap: the old step is never deleted before the new bytes
+    are durable); force=False at an existing step is a no-op returning
+    False."""
+    cfg = _tiny_cfg()
+    state_a = create_train_state(cfg, jax.random.PRNGKey(0), 1e-3, 0.0)
+    state_b = state_a.replace(
+        params=jax.tree.map(lambda x: x + 2.0, state_a.params)
+    )
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    assert mgr.save(5, state_a, force=True)
+    mgr.wait()
+    assert not mgr.save(5, state_b, force=False)  # collision, no force
+    assert mgr.save(5, state_b, force=True)  # replace
+    mgr.wait()
+    restored = mgr.restore(
+        create_train_state(cfg, jax.random.PRNGKey(1), 1e-3, 0.0), step=5
+    )
+    mgr.close()
+    for a, b in zip(
+        jax.tree.leaves(state_b.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_restore_needs_matching_warmup_opt_state(tmp_path):
+    """A warmup-trained opt_state has a schedule-count leaf that a
+    warmup-0 optimizer lacks — serve.py must rebuild with the checkpoint
+    meta's warmup_steps (and moment_dtype) or Orbax restore fails. This
+    pins both directions: meta-matched restore works, mismatched raises."""
+    import pytest
+
+    cfg = _tiny_cfg()
+    state = create_train_state(
+        cfg, jax.random.PRNGKey(0), 1e-3, 0.0, warmup_steps=3
+    )
+    state = state.replace(step=1)
+    d = str(tmp_path / "ckpt")
+    ckpt_lib.save_checkpoint(d, state, step=1)
+    ckpt_lib.save_model_config(d, cfg, train_meta={"warmup_steps": 3})
+
+    meta = ckpt_lib.load_train_meta(d)
+    good = create_train_state(
+        cfg, jax.random.PRNGKey(1), 1e-3, 0.0,
+        warmup_steps=int(meta.get("warmup_steps", 0) or 0),
+    )
+    restored = ckpt_lib.restore_checkpoint(d, good)
+    assert int(restored.step) == 1
+
+    bad = create_train_state(cfg, jax.random.PRNGKey(1), 1e-3, 0.0)
+    with pytest.raises(Exception):
+        ckpt_lib.restore_checkpoint(d, bad)
