@@ -8,9 +8,12 @@ Everything scales through one ``jax.sharding.Mesh`` with named axes:
   * ``expert``  — expert parallelism for MoE layers
   * ``context`` — context/sequence parallelism for long sequences (ring
                   attention; wired in the parallel/ package)
+  * ``model``   — tensor (Megatron-style) parallelism: attention/expert
+                  projections column/row-sharded; XLA inserts the
+                  all-reduces from the GSPMD annotations (tp_param_spec)
 
-A single chip is just the trivial 1x1x1 mesh, so every code path is written
-against the mesh and degenerates gracefully.
+A single chip is just the trivial 1x1x1x1 mesh, so every code path is
+written against the mesh and degenerates gracefully.
 """
 
 from __future__ import annotations
@@ -24,33 +27,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXIS_DATA = "data"
 AXIS_EXPERT = "expert"
 AXIS_CONTEXT = "context"
+AXIS_MODEL = "model"
 
-ALL_AXES = (AXIS_DATA, AXIS_EXPERT, AXIS_CONTEXT)
+ALL_AXES = (AXIS_DATA, AXIS_EXPERT, AXIS_CONTEXT, AXIS_MODEL)
 
 
 def create_mesh(
     data: Optional[int] = None,
     expert: int = 1,
     context: int = 1,
+    model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a (data, expert, context) mesh over the available devices.
+    """Create a (data, expert, context, model) mesh over the available
+    devices.
 
     If ``data`` is None it absorbs all devices not used by the other axes.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    other = expert * context * model
     if data is None:
-        if n % (expert * context) != 0:
+        if n % other != 0:
             raise ValueError(
-                f"{n} devices not divisible by expert*context={expert * context}"
+                f"{n} devices not divisible by "
+                f"expert*context*model={other}"
             )
-        data = n // (expert * context)
-    if data * expert * context != n:
+        data = n // other
+    if data * other != n:
         raise ValueError(
-            f"mesh {data}x{expert}x{context} != {n} devices"
+            f"mesh {data}x{expert}x{context}x{model} != {n} devices"
         )
-    dev_array = np.asarray(devices).reshape(data, expert, context)
+    dev_array = np.asarray(devices).reshape(data, expert, context, model)
     return Mesh(dev_array, ALL_AXES)
 
 
@@ -104,7 +112,7 @@ def maybe_initialize_distributed() -> bool:
 
 
 def create_mesh_for_batch(
-    batch_size: int, expert: int = 1, context: int = 1
+    batch_size: int, expert: int = 1, context: int = 1, model: int = 1
 ) -> Mesh:
     """Mesh whose data axis divides ``batch_size``.
 
@@ -112,11 +120,11 @@ def create_mesh_for_batch(
     available device count (dropping surplus devices rather than failing
     on tiny debug batches).
     """
-    avail = len(jax.devices()) // (expert * context)
+    avail = len(jax.devices()) // (expert * context * model)
     data = max(avail, 1)
     while data > 1 and batch_size % data != 0:
         data -= 1
-    n = data * expert * context
+    n = data * expert * context * model
     total = len(jax.devices())
     if n < total:
         import warnings
@@ -124,12 +132,13 @@ def create_mesh_for_batch(
         warnings.warn(
             f"create_mesh_for_batch: using {n}/{total} devices "
             f"(batch_size={batch_size} is not divisible by a larger data "
-            f"axis with expert={expert}, context={context}); "
+            f"axis with expert={expert}, context={context}, model={model}); "
             f"{total - n} devices will sit idle",
             stacklevel=2,
         )
     return create_mesh(
-        data=data, expert=expert, context=context, devices=jax.devices()[:n]
+        data=data, expert=expert, context=context, model=model,
+        devices=jax.devices()[:n],
     )
 
 
@@ -155,6 +164,60 @@ def expert_sharding(mesh: Mesh) -> NamedSharding:
     Used for stacked MoE expert parameters of shape (E, ...).
     """
     return NamedSharding(mesh, P(AXIS_EXPERT))
+
+
+# Tensor-parallel (Megatron-style) parameter layout, by module name.
+# Column-parallel modules split their OUTPUT features over ``model``
+# (the per-head/per-hidden slices compute independently); row-parallel
+# modules split their INPUT features (XLA inserts the closing
+# all-reduce). Suffix-based on the param path so it is insensitive to
+# an (L,)-stacked leading dim under scan_layers.
+_TP_COLUMN_PARALLEL = frozenset({
+    "qkv_proj",            # fused attention in-projection (heads split)
+    "topk_q_proj", "topk_k_proj", "topk_v_proj",
+    "compressed_q_proj", "compressed_k_proj", "compressed_v_proj",
+    "lm_head",             # vocab split; loss reduces with a collective
+})
+_TP_ROW_PARALLEL = frozenset({
+    "out_proj", "topk_out_proj", "compressed_out_proj",
+})
+
+
+def tp_param_spec(names: Sequence[str], leaf) -> Optional[tuple]:
+    """Tensor-parallel dims for one param leaf, or None to leave it alone.
+
+    ``names`` is the param path (module scopes + leaf name). Returns a
+    tuple of PartitionSpec entries (same rank as ``leaf``) placing
+    ``model`` on the split dim. Stacked MoE experts are column/row
+    split on their hidden dim (w_up/w_down), composing with the
+    ``expert`` axis which shards dim 0. The caller is responsible for
+    checking the mesh's model-axis size and dim divisibility.
+    """
+    if not names or not hasattr(leaf, "ndim") or leaf.ndim == 0:
+        return None
+    last = names[-1]
+    parent = names[-2] if len(names) >= 2 else ""
+    none = (None,) * leaf.ndim
+
+    def _at(dim: int) -> tuple:
+        spec = list(none)
+        spec[dim] = AXIS_MODEL
+        return tuple(spec)
+
+    if last == "kernel" and parent in _TP_COLUMN_PARALLEL:
+        return _at(-1)
+    if last == "bias" and parent in _TP_COLUMN_PARALLEL:
+        return _at(-1)
+    if last == "kernel" and parent in _TP_ROW_PARALLEL:
+        return _at(-2) if leaf.ndim >= 2 else None
+    # row-parallel biases stay replicated (added after the all-reduce)
+    if last == "w_up":
+        return _at(-1)
+    if last == "b_up":
+        return _at(-1)
+    if last == "w_down":
+        return _at(-2) if leaf.ndim >= 2 else None
+    return None
 
 
 def shard_batch(batch, mesh: Mesh):

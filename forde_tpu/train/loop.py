@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "sequence dim — dense attention rides ring/zigzag "
                         "attention, NSA uses window halo exchange "
                         "(parallel/nsa_context.py)")
+    p.add_argument("--tensor_parallelism", type=int, default=1,
+                   help="size of the model mesh axis; >1 column/row-"
+                        "shards attention + expert projections "
+                        "(Megatron layout, core/mesh.tp_param_spec) — "
+                        "XLA inserts the all-reduces from the GSPMD "
+                        "annotations")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--plots_dir", type=str, default="plots")
     p.add_argument("--seed", type=int, default=42)
@@ -161,7 +167,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh_for_batch(
         args.batch_size, expert=args.expert_parallelism,
-        context=args.context_parallelism,
+        context=args.context_parallelism, model=args.tensor_parallelism,
     )
     print(f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices")
     # The mesh becomes part of the model only for the explicit-parallel

@@ -139,12 +139,22 @@ def state_shardings(state: TrainState, mesh: Mesh):
 def _leaf_sharding(path, leaf, mesh):
     names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
     expert_axis = mesh.shape[mesh_lib.AXIS_EXPERT]
+    model_axis = mesh.shape.get(mesh_lib.AXIS_MODEL, 1)
+    if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+        return mesh_lib.replicated(mesh)
+    spec = [None] * leaf.ndim
     if (
         expert_axis > 1
         and "experts" in names
-        and hasattr(leaf, "ndim")
-        and leaf.ndim >= 1
         and leaf.shape[0] % expert_axis == 0
     ):
-        return mesh_lib.expert_sharding(mesh)
-    return mesh_lib.replicated(mesh)
+        spec[0] = mesh_lib.AXIS_EXPERT
+    if model_axis > 1:
+        tp = mesh_lib.tp_param_spec(names, leaf)
+        if tp is not None:
+            dim = next(
+                i for i, a in enumerate(tp) if a == mesh_lib.AXIS_MODEL
+            )
+            if leaf.shape[dim] % model_axis == 0 and spec[dim] is None:
+                spec[dim] = mesh_lib.AXIS_MODEL
+    return mesh_lib.logical_to_sharding(mesh, *spec)

@@ -162,3 +162,69 @@ class TestContextParallelWiring:
             cfg, mesh, mesh, _batches(2, 4, 32, cfg.vocab_size)
         )
         assert all(np.isfinite(x) for x in losses)
+
+
+class TestTensorParallelWiring:
+    """Tensor parallelism is pure GSPMD: params column/row-sharded over
+    the ``model`` axis (core/mesh.tp_param_spec), model code unchanged,
+    XLA inserts the all-reduces. Losses must match single-device runs."""
+
+    def test_tp_matches_single_device(self):
+        """Dense decoder on (data=2, model=2) == 1 device."""
+        cfg = _cfg(moe_dispatch="capacity")
+        batches = _batches(2, 4, 32, cfg.vocab_size)
+
+        mesh_tp = mesh_lib.create_mesh(
+            data=2, model=2, devices=jax.devices()[:4]
+        )
+        mesh_1 = mesh_lib.create_mesh(data=1, devices=jax.devices()[:1])
+
+        tp_losses = _run_steps(cfg, mesh_tp, None, batches)
+        ref_losses = _run_steps(cfg, mesh_1, None, batches)
+        np.testing.assert_allclose(tp_losses, ref_losses, rtol=0, atol=2e-5)
+
+    def test_tp_params_actually_sharded(self):
+        """The Megatron layout is real: expert w_up is (expert?, None,
+        'model')-sharded and qkv kernels are last-dim 'model'-sharded on
+        a model>1 mesh (guards against the rule silently matching
+        nothing and the test above passing on replicated params)."""
+        cfg = _cfg(moe_dispatch="capacity")
+        mesh_tp = mesh_lib.create_mesh(
+            data=2, model=2, devices=jax.devices()[:4]
+        )
+        state = create_train_state(
+            cfg, jax.random.PRNGKey(0), 1e-2, 0.0, init_batch_shape=(1, 16)
+        )
+        state = shard_train_state(state, mesh_tp)
+        flat = jax.tree_util.tree_leaves_with_path(state.params)
+        specs = {
+            "/".join(str(getattr(k, "key", "")) for k in path): (
+                leaf.sharding.spec
+            )
+            for path, leaf in flat
+        }
+        w_up = next(v for k, v in specs.items() if k.endswith("w_up"))
+        assert "model" in tuple(w_up), w_up
+        qkv = next(
+            v for k, v in specs.items() if k.endswith("qkv_proj/kernel")
+        )
+        assert tuple(qkv)[-1] == "model", qkv
+
+    def test_tp_with_nsa(self):
+        """NSA decoder (all three branches) under (data=2, model=2) ==
+        1 device: the branch q/k/v projections are column-sharded, the
+        out-projections row-sharded."""
+        cfg = _cfg(
+            use_sparse_attention=True, window_size=16,
+            compression_ratio=4, top_k_global=8, max_seq_len=64,
+        )
+        batches = _batches(2, 4, 32, cfg.vocab_size)
+
+        mesh_tp = mesh_lib.create_mesh(
+            data=2, model=2, devices=jax.devices()[:4]
+        )
+        mesh_1 = mesh_lib.create_mesh(data=1, devices=jax.devices()[:1])
+
+        tp_losses = _run_steps(cfg, mesh_tp, None, batches)
+        ref_losses = _run_steps(cfg, mesh_1, None, batches)
+        np.testing.assert_allclose(tp_losses, ref_losses, rtol=0, atol=2e-5)
