@@ -103,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "sequence dim — dense attention rides ring/zigzag "
                         "attention, NSA uses window halo exchange "
                         "(parallel/nsa_context.py)")
+    p.add_argument("--param_sharding", choices=["replicated", "fsdp"],
+                   default="replicated",
+                   help="fsdp = ZeRO-3-style: params + optimizer moments "
+                        "sharded over the data axis (largest free dim); "
+                        "XLA all-gathers weights per use and "
+                        "reduce-scatters grads — per-device state memory "
+                        "drops ~data-fold")
     p.add_argument("--tensor_parallelism", type=int, default=1,
                    help="size of the model mesh axis; >1 column/row-"
                         "shards attention + expert projections "
@@ -190,7 +197,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         warmup_steps=args.warmup_steps,
         moment_dtype=args.moment_dtype,
     )
-    state = shard_train_state(state, mesh)
+    state = shard_train_state(state, mesh, param_sharding=args.param_sharding)
 
     manager = None
     if args.checkpoint_dir:

@@ -115,31 +115,45 @@ def create_train_state(
     )
 
 
-def shard_train_state(state: TrainState, mesh: Optional[Mesh]) -> TrainState:
+def shard_train_state(
+    state: TrainState, mesh: Optional[Mesh], param_sharding: str = "replicated"
+) -> TrainState:
     """Place the whole train state onto the mesh.
 
     Expert-stacked params (and their optimizer moments) shard over the
-    ``expert`` axis; everything else is replicated. On a trivial mesh this
-    is a plain device_put.
+    ``expert`` axis; tensor-parallel leaves over ``model``
+    (mesh.tp_param_spec); everything else is replicated — unless
+    ``param_sharding="fsdp"``, which additionally shards every remaining
+    param/moment leaf's largest free dim over ``data`` (ZeRO-3-style:
+    XLA all-gathers weights per use and reduce-scatters gradients, so
+    per-device param+moment memory drops ~data-axis-fold for the cost of
+    one weight all-gather per layer per step). On a trivial mesh this is
+    a plain device_put.
     """
     if mesh is None:
         return state
-    shardings = state_shardings(state, mesh)
+    shardings = state_shardings(state, mesh, param_sharding)
     return jax.device_put(state, shardings)
 
 
-def state_shardings(state: TrainState, mesh: Mesh):
+def state_shardings(
+    state: TrainState, mesh: Mesh, param_sharding: str = "replicated"
+):
     """NamedShardings for every leaf of the train state (params rule applied
     to params and to optimizer moments, which mirror the param tree)."""
+    if param_sharding not in ("replicated", "fsdp"):
+        raise ValueError(f"unknown param_sharding {param_sharding!r}")
+    fsdp = param_sharding == "fsdp"
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _leaf_sharding(path, leaf, mesh), state
+        lambda path, leaf: _leaf_sharding(path, leaf, mesh, fsdp), state
     )
 
 
-def _leaf_sharding(path, leaf, mesh):
+def _leaf_sharding(path, leaf, mesh, fsdp: bool = False):
     names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
     expert_axis = mesh.shape[mesh_lib.AXIS_EXPERT]
     model_axis = mesh.shape.get(mesh_lib.AXIS_MODEL, 1)
+    data_axis = mesh.shape.get(mesh_lib.AXIS_DATA, 1)
     if not hasattr(leaf, "ndim") or leaf.ndim == 0:
         return mesh_lib.replicated(mesh)
     spec = [None] * leaf.ndim
@@ -157,4 +171,18 @@ def _leaf_sharding(path, leaf, mesh):
             )
             if leaf.shape[dim] % model_axis == 0 and spec[dim] is None:
                 spec[dim] = mesh_lib.AXIS_MODEL
+    if (
+        fsdp
+        and data_axis > 1
+        # params + their optimizer moments only: the stats_buffer feeds
+        # the slow loop whole, and tiny leaves aren't worth a collective
+        and "stats_buffer" not in names
+        and leaf.size >= 2 * data_axis
+    ):
+        for dim in sorted(
+            range(leaf.ndim), key=lambda i: -leaf.shape[i]
+        ):
+            if spec[dim] is None and leaf.shape[dim] % data_axis == 0:
+                spec[dim] = mesh_lib.AXIS_DATA
+                break
     return mesh_lib.logical_to_sharding(mesh, *spec)
