@@ -28,8 +28,9 @@ AXIS_DATA = "data"
 AXIS_EXPERT = "expert"
 AXIS_CONTEXT = "context"
 AXIS_MODEL = "model"
+AXIS_PIPE = "pipe"
 
-ALL_AXES = (AXIS_DATA, AXIS_EXPERT, AXIS_CONTEXT, AXIS_MODEL)
+ALL_AXES = (AXIS_DATA, AXIS_EXPERT, AXIS_CONTEXT, AXIS_MODEL, AXIS_PIPE)
 
 
 def create_mesh(
@@ -37,28 +38,31 @@ def create_mesh(
     expert: int = 1,
     context: int = 1,
     model: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a (data, expert, context, model) mesh over the available
-    devices.
+    """Create a (data, expert, context, model, pipe) mesh over the
+    available devices.
 
     If ``data`` is None it absorbs all devices not used by the other axes.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    other = expert * context * model
+    other = expert * context * model * pipe
     if data is None:
         if n % other != 0:
             raise ValueError(
                 f"{n} devices not divisible by "
-                f"expert*context*model={other}"
+                f"expert*context*model*pipe={other}"
             )
         data = n // other
     if data * other != n:
         raise ValueError(
-            f"mesh {data}x{expert}x{context}x{model} != {n} devices"
+            f"mesh {data}x{expert}x{context}x{model}x{pipe} != {n} devices"
         )
-    dev_array = np.asarray(devices).reshape(data, expert, context, model)
+    dev_array = np.asarray(devices).reshape(
+        data, expert, context, model, pipe
+    )
     return Mesh(dev_array, ALL_AXES)
 
 
@@ -112,7 +116,8 @@ def maybe_initialize_distributed() -> bool:
 
 
 def create_mesh_for_batch(
-    batch_size: int, expert: int = 1, context: int = 1, model: int = 1
+    batch_size: int, expert: int = 1, context: int = 1, model: int = 1,
+    pipe: int = 1,
 ) -> Mesh:
     """Mesh whose data axis divides ``batch_size``.
 
@@ -120,11 +125,12 @@ def create_mesh_for_batch(
     available device count (dropping surplus devices rather than failing
     on tiny debug batches).
     """
-    avail = len(jax.devices()) // (expert * context * model)
+    other = expert * context * model * pipe
+    avail = len(jax.devices()) // other
     data = max(avail, 1)
     while data > 1 and batch_size % data != 0:
         data -= 1
-    n = data * expert * context * model
+    n = data * other
     total = len(jax.devices())
     if n < total:
         import warnings
@@ -132,12 +138,12 @@ def create_mesh_for_batch(
         warnings.warn(
             f"create_mesh_for_batch: using {n}/{total} devices "
             f"(batch_size={batch_size} is not divisible by a larger data "
-            f"axis with expert={expert}, context={context}, model={model}); "
-            f"{total - n} devices will sit idle",
+            f"axis with expert={expert}, context={context}, model={model}, "
+            f"pipe={pipe}); {total - n} devices will sit idle",
             stacklevel=2,
         )
     return create_mesh(
-        data=data, expert=expert, context=context, model=model,
+        data=data, expert=expert, context=context, model=model, pipe=pipe,
         devices=jax.devices()[:n],
     )
 

@@ -110,6 +110,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "XLA all-gathers weights per use and "
                         "reduce-scatters grads — per-device state memory "
                         "drops ~data-fold")
+    p.add_argument("--pipeline_parallelism", type=int, default=1,
+                   help="size of the pipe mesh axis; >1 runs the layer "
+                        "stack as a GPipe schedule over stages (requires "
+                        "--scan_layers; parallel/pipeline.py)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches (default 2x stages); must "
+                        "divide batch_size")
     p.add_argument("--tensor_parallelism", type=int, default=1,
                    help="size of the model mesh axis; >1 column/row-"
                         "shards attention + expert projections "
@@ -170,11 +177,28 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         )
     if args.moe_dispatch == "ep" and args.expert_parallelism <= 1:
         raise ValueError('--moe_dispatch ep requires --expert_parallelism > 1')
+    pp = args.pipeline_parallelism
+    if pp > 1:
+        if not args.scan_layers:
+            raise ValueError("--pipeline_parallelism requires --scan_layers "
+                             "(the stacked layout IS the stage slicing)")
+        if args.num_layers % pp:
+            raise ValueError(f"--num_layers {args.num_layers} must divide "
+                             f"--pipeline_parallelism {pp}")
+        mb = args.pp_microbatches or 2 * pp
+        if args.batch_size % mb:
+            raise ValueError(f"--batch_size {args.batch_size} must divide "
+                             f"pp microbatches {mb}")
+        mesh_batch = args.batch_size // mb  # data axis must divide ONE
+        # microbatch (pipeline.py shards microbatch examples over data)
+    else:
+        mesh_batch = args.batch_size
 
     mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh_for_batch(
-        args.batch_size, expert=args.expert_parallelism,
+        mesh_batch, expert=args.expert_parallelism,
         context=args.context_parallelism, model=args.tensor_parallelism,
+        pipe=pp,
     )
     print(f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices")
     # The mesh becomes part of the model only for the explicit-parallel
@@ -243,6 +267,20 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             num_batches=args.steps_per_epoch * args.num_epochs,
         )
 
+    if pp > 1:
+        from forde_tpu.parallel.pipeline import make_pp_train_step
+
+        pp_step = make_pp_train_step(
+            config, mesh, args.pp_microbatches or 2 * pp,
+            aux_loss_weight=args.aux_loss_weight,
+        )
+        step_fn = pp_step
+    else:
+        def step_fn(state, batch):
+            return train_step(
+                state, batch, aux_loss_weight=args.aux_loss_weight
+            )
+
     meter = ThroughputMeter(items_per_step=args.batch_size * args.seq_len)
     batch_sharding = mesh_lib.tokens_sharding(mesh)
     global_step = int(state.step)
@@ -255,9 +293,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         for epoch in range(args.num_epochs):
             batches = prefetch_to_device(iter(dataset), sharding=batch_sharding)
             for batch in batches:
-                state, metrics = train_step(
-                    state, batch, aux_loss_weight=args.aux_loss_weight
-                )
+                state, metrics = step_fn(state, batch)
                 global_step += 1
                 meter.step()
 
