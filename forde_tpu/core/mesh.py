@@ -183,9 +183,12 @@ _TP_COLUMN_PARALLEL = frozenset({
     "topk_q_proj", "topk_k_proj", "topk_v_proj",
     "compressed_q_proj", "compressed_k_proj", "compressed_v_proj",
     "lm_head",             # vocab split; loss reduces with a collective
+    "w_in",                # StatefulLayer up-projection (hidden split —
+                           # the multiplex is elementwise over hidden)
 })
 _TP_ROW_PARALLEL = frozenset({
     "out_proj", "topk_out_proj", "compressed_out_proj",
+    "w_out",               # StatefulLayer down-projection
 })
 
 

@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="linear LR warmup; escapes the uniform-softmax "
                         "saddle at practical contrastive peak LRs")
     p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--tensor_parallelism", type=int, default=1,
+                   help="size of the model mesh axis: Megatron "
+                        "column/row GSPMD layout for tower attention + "
+                        "StatefulLayer projections (core/mesh.tp_param_spec)")
+    p.add_argument("--param_sharding", choices=["replicated", "fsdp"],
+                   default="replicated",
+                   help="fsdp = ZeRO-3-style param/moment sharding over "
+                        "the data axis")
     p.add_argument("--num_steps", type=int, default=1000)
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--slow_loop_interval", type=int, default=100)
@@ -129,7 +137,9 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     cfg = config_from_args(args)
     brain = BrainConfig()
     mesh_lib.maybe_initialize_distributed()
-    mesh = mesh_lib.create_mesh_for_batch(args.batch_size)
+    mesh = mesh_lib.create_mesh_for_batch(
+        args.batch_size, model=args.tensor_parallelism
+    )
 
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
@@ -140,6 +150,9 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         warmup_steps=args.warmup_steps,
         moment_dtype=args.moment_dtype,
     )
+    from forde_tpu.train.state import shard_train_state
+
+    state = shard_train_state(state, mesh, param_sharding=args.param_sharding)
     n_params = sum(
         np.prod(p.shape) for p in jax.tree.leaves(state.params)
     )

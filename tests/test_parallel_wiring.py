@@ -307,3 +307,83 @@ class TestFSDPWiring:
             and str(getattr(path[-1], "key", "")) == "kernel"
         )
         assert "model" in qkv_spec and "data" in qkv_spec, qkv_spec
+
+
+class TestDualEncoderTPFSDP:
+    """The CLIP fast loop under TP (tower attention + StatefulLayer
+    projections Megatron-sharded) and FSDP must match single-device
+    losses — the encoder-side twin of the decoder tests above."""
+
+    def _clip_cfg(self):
+        from forde_tpu.core.config import DualEncoderConfig, TowerConfig
+
+        return DualEncoderConfig(
+            image_size=32,
+            patch_size=16,
+            vision=TowerConfig(
+                d_model=32, num_layers=2, num_heads=2, head_dim=16,
+                mlp_hidden_dim=64,
+            ),
+            vocab_size=128,
+            max_text_len=16,
+            text=TowerConfig(
+                d_model=32, num_layers=2, num_heads=2, head_dim=16,
+                mlp_hidden_dim=64,
+            ),
+            embed_dim=32,
+            attention_kernel_impl="reference",
+            stateful_kernel_impl="reference",
+        )
+
+    def _run(self, mesh, param_sharding, batches):
+        from forde_tpu.train.clip_step import (
+            clip_train_step,
+            create_clip_train_state,
+        )
+        from forde_tpu.train.state import shard_train_state
+
+        cfg = self._clip_cfg()
+        state = create_clip_train_state(
+            cfg, jax.random.PRNGKey(0), 1e-3, 0.0,
+            batch_size=batches[0]["image"].shape[0], text_len=16,
+        )
+        state = shard_train_state(state, mesh, param_sharding)
+        sharding = mesh_lib.batch_sharding(mesh)
+        losses = []
+        for batch in batches:
+            dev_batch = {
+                k: jax.device_put(v, sharding) for k, v in batch.items()
+            }
+            state, metrics = clip_train_step(state, dev_batch)
+            losses.append(float(metrics["loss/contrastive"]))
+        return losses, state
+
+    def test_clip_tp_fsdp_matches_single_device(self):
+        rng = np.random.RandomState(0)
+        batches = [
+            {
+                "image": rng.rand(8, 32, 32, 3).astype(np.float32),
+                "input_ids": rng.randint(1, 128, (8, 16)).astype(np.int32),
+                "attention_mask": np.ones((8, 16), np.int32),
+            }
+            for _ in range(2)
+        ]
+        mesh_tp = mesh_lib.create_mesh(
+            data=2, model=2, devices=jax.devices()[:4]
+        )
+        mesh_1 = mesh_lib.create_mesh(data=1, devices=jax.devices()[:1])
+
+        got, state = self._run(mesh_tp, "fsdp", batches)
+        ref, _ = self._run(mesh_1, "replicated", batches)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5)
+
+        # StatefulLayer w_in kernel carries 'model' (column-parallel)
+        flat = jax.tree_util.tree_leaves_with_path(state.params)
+        w_in = next(
+            tuple(leaf.sharding.spec)
+            for path, leaf in flat
+            if len(path) >= 2
+            and str(getattr(path[-2], "key", "")) == "w_in"
+            and str(getattr(path[-1], "key", "")) == "kernel"
+        )
+        assert "model" in w_in, w_in
