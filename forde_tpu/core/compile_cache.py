@@ -8,7 +8,18 @@ a train step and 30-40 min for an unrolled 12-layer decoder (PERF.md
 process start into a disk hit — including the serving CLI, whose
 unrolled-decode cold start was a round-2 verdict weakness.
 
-Enabled automatically on ``import forde_tpu``. Opt out or redirect with:
+Enabled automatically on ``import forde_tpu`` — EXCEPT when the process
+is pinned to the CPU backend (``JAX_PLATFORMS=cpu``): XLA:CPU serializes
+AOT executables specialized to the *compiling* process's detected CPU
+feature set, and loading one under a different feature context is a
+hard SIGSEGV, not an error (observed twice: the pytest suite segfaulted
+mid-run loading entries whose ``+prefer-no-scatter``/``+prefer-no-gather``
+pseudo-features didn't match — those are process-level XLA decisions a
+/proc/cpuinfo fingerprint cannot see). CPU compiles are cheap; the cache
+exists for the remote TPU compiler's 20s-40min tax, so CPU processes
+simply skip it.
+
+Opt out or redirect with:
 
   FORDE_COMPILE_CACHE=0          disable
   FORDE_COMPILE_CACHE=/some/dir  cache directory (default: ~/.cache/forde_tpu/xla)
@@ -65,6 +76,12 @@ def enable_persistent_cache() -> str | None:
     """
     knob = os.environ.get("FORDE_COMPILE_CACHE", "")
     if knob in ("0", "false", "off", "no"):
+        return None
+    # CPU-pinned process: never persist XLA:CPU AOT executables (see
+    # module docstring — feature-context mismatch on load is a SIGSEGV).
+    # An explicit FORDE_COMPILE_CACHE dir overrides (caller's choice).
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in platforms.lower() and not knob:
         return None
     # any other non-empty, non-boolean value is a directory (relative
     # names included — "jaxcache" must not silently fall back to ~/.cache)

@@ -14,6 +14,11 @@ what actually forces CPU.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Never persist XLA:CPU AOT executables from the suite: loading an entry
+# whose compile-time CPU feature context differs is a SIGSEGV, not an
+# error (core/compile_cache.py docstring; the JAX_PLATFORMS=cpu guard
+# there also covers this, this is belt and braces for the test run).
+os.environ["FORDE_COMPILE_CACHE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
