@@ -15,6 +15,21 @@ from forde_tpu.train.state import create_train_state, shard_train_state
 from forde_tpu.train.step import train_step
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_compile_state():
+    """XLA:CPU has segfaulted compiling this module's heavily-partitioned
+    train steps late in a full-suite run (accumulated executables from
+    ~20 prior files; the same tests pass standalone — jax-ml/jax-level
+    compiler state bug, not a model bug). Dropping the in-process
+    compilation caches before each test removes the trigger and bounds
+    compiler memory."""
+    jax.clear_caches()
+    yield
+
+
 def _cfg(**kw):
     base = dict(
         vocab_size=128,
