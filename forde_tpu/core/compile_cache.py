@@ -75,17 +75,26 @@ def enable_persistent_cache() -> str | None:
     after backend initialization — only sets config values.
     """
     knob = os.environ.get("FORDE_COMPILE_CACHE", "")
-    if knob in ("0", "false", "off", "no"):
+    if knob.lower() in ("0", "false", "off", "no"):
         return None
     # CPU-pinned process: never persist XLA:CPU AOT executables (see
     # module docstring — feature-context mismatch on load is a SIGSEGV).
+    # Only the PRIMARY platform counts ("tpu,cpu" fallback lists must
+    # keep the cache — it exists for the TPU compile tax). Residual gap:
+    # a CPU-only host with JAX_PLATFORMS unset still caches (resolving
+    # the real backend at import would initialize it, which hangs when
+    # the TPU tunnel is down); such hosts should pin JAX_PLATFORMS=cpu.
     # An explicit FORDE_COMPILE_CACHE dir overrides (caller's choice).
-    platforms = os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in platforms.lower() and not knob:
+    primary = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+    if primary.lower() == "cpu" and not knob:
         return None
     # any other non-empty, non-boolean value is a directory (relative
     # names included — "jaxcache" must not silently fall back to ~/.cache)
-    base = knob if knob not in ("", "1", "true", "on", "yes") else _DEFAULT_DIR
+    base = (
+        knob
+        if knob.lower() not in ("", "1", "true", "on", "yes")
+        else _DEFAULT_DIR
+    )
     cache_dir = os.path.join(base, _host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)

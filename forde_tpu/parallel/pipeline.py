@@ -23,9 +23,19 @@ Exactness (tested in tests/test_pipeline.py):
     stats_buffer equals one full-batch forward; ``step_count`` advances
     by 1 per optimizer step (microbatches are not steps) so the slow
     loop's usage/step_count normalization is unchanged;
-  * gradients flow through ppermute + the tick scan (GPipe is exact, not
-    an approximation — contrast 1F1B schedules which change only
-    liveness, not math).
+  * gradients flow through ppermute + the tick scan and match the
+    microbatched reference exactly (the schedule itself is exact —
+    contrast nothing is approximated by the bubble masking).
+
+One deliberate microbatching semantic: the MoE load-balance aux loss is
+computed per microbatch and AVERAGED. It is nonlinear in batch
+composition, so ``mean_m(aux(mb_m)) != aux(full batch)`` in general —
+the standard GPipe trade (every microbatched trainer makes it). The LM
+loss and its gradients are unaffected (cross-entropy means decompose);
+only the aux regularizer sees microbatch statistics. Toggling
+``--pipeline_parallelism`` therefore changes the aux term's value
+slightly at identical data; tests compare against the microbatched
+reference, which is the semantics actually computed.
 
 Scope: training/eval forward (``decode=False``), ``deterministic=True``
 (PP serving would pipeline the decode loop instead), and
@@ -79,10 +89,10 @@ def pp_forward(
     assert cfg.scan_layers, "pipeline parallelism requires scan_layers=True"
     S = mesh.shape[AXIS_PIPE]
     L = cfg.num_layers
-    assert L % S == 0, f"num_layers {L} must divide pipe axis {S}"
+    assert L % S == 0, f"pipe axis {S} must divide num_layers {L}"
     M = num_microbatches
     b, s = input_ids.shape
-    assert b % M == 0, f"batch {b} must divide num_microbatches {M}"
+    assert b % M == 0, f"num_microbatches {M} must divide batch {b}"
     mb = b // M
     dtype = cfg.dtypes.compute
 
@@ -126,8 +136,8 @@ def pp_forward(
     data_ax = AXIS_DATA if mesh.shape.get(AXIS_DATA, 1) > 1 else None
     if data_ax:
         assert mb % mesh.shape[AXIS_DATA] == 0, (
-            f"microbatch size {mb} must divide data axis "
-            f"{mesh.shape[AXIS_DATA]}"
+            f"data axis {mesh.shape[AXIS_DATA]} must divide "
+            f"microbatch size {mb}"
         )
     bspec = P(None, data_ax)
 

@@ -83,9 +83,18 @@ class CheckpointManager:
             if not force:
                 return False
             self._mgr.wait_until_finished()
+            import jax
+
+            multi = jax.process_count() > 1
+            if multi:  # barriers around the uncoordinated fs swap below
+                from jax.experimental import multihost_utils
             root = str(self._mgr.directory)
             tmp_root = os.path.join(root, f"_replace_{step}")
-            shutil.rmtree(tmp_root, ignore_errors=True)
+            if jax.process_index() == 0:
+                shutil.rmtree(tmp_root, ignore_errors=True)
+            if multi:
+                multihost_utils.sync_global_devices("forde_ckpt_tmp_clean")
+            # orbax coordinates the multi-host temp save itself
             tmp_mgr = ocp.CheckpointManager(
                 tmp_root,
                 options=ocp.CheckpointManagerOptions(
@@ -98,14 +107,20 @@ class CheckpointManager:
             finally:
                 tmp_mgr.close()
             if not ok:
-                shutil.rmtree(tmp_root, ignore_errors=True)
+                if jax.process_index() == 0:
+                    shutil.rmtree(tmp_root, ignore_errors=True)
                 return False
-            self._mgr.delete(step)
-            os.replace(
-                os.path.join(tmp_root, str(step)),
-                os.path.join(root, str(step)),
-            )
-            shutil.rmtree(tmp_root, ignore_errors=True)
+            # the directory swap is plain-filesystem work: exactly one
+            # process performs it, everyone else waits at the barrier
+            if jax.process_index() == 0:
+                shutil.rmtree(os.path.join(root, str(step)))
+                os.replace(
+                    os.path.join(tmp_root, str(step)),
+                    os.path.join(root, str(step)),
+                )
+                shutil.rmtree(tmp_root, ignore_errors=True)
+            if multi:
+                multihost_utils.sync_global_devices("forde_ckpt_replaced")
             self._mgr.reload()  # re-scan steps from disk
             return True
         return self._mgr.save(

@@ -183,12 +183,25 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             raise ValueError("--pipeline_parallelism requires --scan_layers "
                              "(the stacked layout IS the stage slicing)")
         if args.num_layers % pp:
-            raise ValueError(f"--num_layers {args.num_layers} must divide "
-                             f"--pipeline_parallelism {pp}")
+            raise ValueError(f"--pipeline_parallelism {pp} must divide "
+                             f"--num_layers {args.num_layers}")
         mb = args.pp_microbatches or 2 * pp
         if args.batch_size % mb:
-            raise ValueError(f"--batch_size {args.batch_size} must divide "
-                             f"pp microbatches {mb}")
+            raise ValueError(f"pp microbatches {mb} must divide "
+                             f"--batch_size {args.batch_size}")
+        # The pipeline composes with DP only (microbatch examples shard
+        # over 'data'); the stage program runs each block un-meshed, so
+        # shard_map EP, ring/NSA CP, and Megatron TP inside a stage are
+        # follow-ups — fail loudly instead of silently replicating.
+        if args.moe_dispatch == "ep":
+            raise ValueError("--pipeline_parallelism does not compose with "
+                             "--moe_dispatch ep yet (stages run un-meshed); "
+                             "use dense/capacity dispatch")
+        if args.context_parallelism > 1 or args.tensor_parallelism > 1:
+            raise ValueError("--pipeline_parallelism composes with data "
+                             "parallelism only for now — set "
+                             "--context_parallelism/--tensor_parallelism "
+                             "to 1")
         mesh_batch = args.batch_size // mb  # data axis must divide ONE
         # microbatch (pipeline.py shards microbatch examples over data)
     else:

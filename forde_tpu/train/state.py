@@ -154,12 +154,26 @@ def _leaf_sharding(path, leaf, mesh, fsdp: bool = False):
     expert_axis = mesh.shape[mesh_lib.AXIS_EXPERT]
     model_axis = mesh.shape.get(mesh_lib.AXIS_MODEL, 1)
     data_axis = mesh.shape.get(mesh_lib.AXIS_DATA, 1)
+    pipe_axis = mesh.shape.get(mesh_lib.AXIS_PIPE, 1)
     if not hasattr(leaf, "ndim") or leaf.ndim == 0:
         return mesh_lib.replicated(mesh)
     spec = [None] * leaf.ndim
+    in_layer_stack = "layers" in names
     if (
+        pipe_axis > 1
+        and in_layer_stack
+        and leaf.shape[0] % pipe_axis == 0
+    ):
+        # pipeline stages own contiguous slices of the (L,)-stacked
+        # scan layers — params AND moments live stage-sharded at rest,
+        # matching parallel/pipeline.pp_forward's P('pipe') in_specs
+        # (no per-step resharding, per-device state drops ~pipe-fold).
+        spec[0] = mesh_lib.AXIS_PIPE
+    elif (
         expert_axis > 1
         and "experts" in names
+        and not in_layer_stack  # scanned experts are (L, E, ...): dim 0
+        # is the layer stack, not the expert dim — leave to pipe/fsdp
         and leaf.shape[0] % expert_axis == 0
     ):
         spec[0] = mesh_lib.AXIS_EXPERT

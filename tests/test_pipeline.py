@@ -211,3 +211,42 @@ def test_pp_train_cli_smoke(tmp_path):
     ])
     out = train(args)
     assert np.isfinite(out["final_metrics"]["loss/total"])
+
+
+def test_pp_state_is_stage_sharded_at_rest():
+    """shard_train_state on a pipe mesh puts P('pipe', ...) on the
+    (L,)-stacked layer params AND optimizer moments (per-device state
+    divides by stages — the point of PP), and the pp train step runs
+    from that placement unchanged."""
+    from forde_tpu.parallel.pipeline import make_pp_train_step
+    from forde_tpu.train.state import create_train_state, shard_train_state
+
+    cfg = _cfg(num_layers=2)
+    mesh = mesh_lib.create_mesh(
+        data=2, pipe=2, devices=jax.devices()[:4]
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 1e-3, 0.0)
+    state = shard_train_state(state, mesh)
+
+    def pipe_sharded(tree):
+        n = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            names = [str(getattr(p, "key", "")) for p in path]
+            if "layers" in names and hasattr(leaf, "sharding"):
+                spec = tuple(leaf.sharding.spec)
+                assert spec and spec[0] == "pipe", (names, spec)
+                n += 1
+        return n
+
+    assert pipe_sharded(state.params) >= 10
+    assert pipe_sharded(state.opt_state) >= 10
+
+    step = make_pp_train_step(cfg, mesh, num_microbatches=2)
+    ids = jnp.asarray(
+        np.random.RandomState(5).randint(0, cfg.vocab_size, (8, 16)),
+        jnp.int32,
+    )
+    new_state, metrics = step(state, {"input_ids": ids})
+    assert np.isfinite(float(metrics["loss/total"]))
+    # placement survives the step (donation keeps shardings)
+    pipe_sharded(new_state.params)
