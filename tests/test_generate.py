@@ -410,3 +410,39 @@ def test_topk_insert_matches_global_top_k():
                     np.testing.assert_array_equal(
                         np.asarray(vv[row, :, slot]), np.asarray(vs[row, :, src])
                     )
+
+
+def test_generate_cached_data_parallel_serving():
+    """Batched serving scales over the mesh with zero code: a prompt
+    batch sharded over 'data' (replicated params) decodes token-exactly
+    vs single-device — GSPMD partitions the whole cached-decode program,
+    KV caches included."""
+    from forde_tpu.core import mesh as mesh_lib
+    from forde_tpu.models.generate import generate_cached
+
+    cfg = tiny_config(max_seq_len=64, scan_layers=True)
+    model = FORDEDecoderLM(config=cfg)
+    variables = dict(
+        model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    )
+    prompt = jnp.asarray(
+        np.random.RandomState(0).randint(1, cfg.vocab_size, (4, 6)), jnp.int32
+    )
+    ref = np.asarray(
+        generate_cached(
+            model, variables, prompt, jax.random.PRNGKey(1),
+            max_new_tokens=5, temperature=0.0,
+        )
+    )
+    mesh = mesh_lib.create_mesh(data=4, devices=jax.devices()[:4])
+    out = np.asarray(
+        generate_cached(
+            model,
+            jax.device_put(variables, mesh_lib.replicated(mesh)),
+            jax.device_put(prompt, mesh_lib.batch_sharding(mesh)),
+            jax.random.PRNGKey(1),
+            max_new_tokens=5,
+            temperature=0.0,
+        )
+    )
+    np.testing.assert_array_equal(ref, out)
