@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--length_penalty", type=float, default=0.0,
                    help="beam search: scores / generated_len**penalty "
                         "(only meaningful with --eos_id)")
+    p.add_argument("--tensor_parallelism", type=int, default=1,
+                   help="shard the model over N chips for serving "
+                        "(Megatron GSPMD layout, core/mesh.tp_param_spec); "
+                        "decode is token-exact vs single device. For "
+                        "throughput serving, batch prompts and shard "
+                        "over 'data' via the library (tests/test_generate)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -150,6 +156,24 @@ def main(argv: Optional[list] = None) -> None:
 
     model = FORDEDecoderLM(config=config)
     variables = {"params": state.params, "stats_buffer": state.stats_buffer}
+    if args.tensor_parallelism > 1:
+        # Model-parallel serving: params Megatron-sharded over 'model';
+        # GSPMD partitions the whole cached-decode program (token-exact
+        # — tests/test_generate.py).
+        from forde_tpu.core import mesh as mesh_lib
+        from forde_tpu.train.state import _leaf_sharding
+
+        mesh = mesh_lib.create_mesh(
+            data=1, model=args.tensor_parallelism,
+            devices=jax.devices()[: args.tensor_parallelism],
+        )
+        variables = jax.tree_util.tree_map_with_path(
+            lambda p, leaf: jax.device_put(
+                leaf, _leaf_sharding(p, leaf, mesh)
+            ),
+            variables,
+        )
+        print(f"[serve] mesh serving: {dict(mesh.shape)}")
     if args.beam_size > 1:
         from forde_tpu.models.generate import generate_beam
 

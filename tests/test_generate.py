@@ -446,3 +446,46 @@ def test_generate_cached_data_parallel_serving():
         )
     )
     np.testing.assert_array_equal(ref, out)
+
+
+def test_generate_cached_tensor_parallel_serving():
+    """Model-parallel serving: params Megatron-sharded over 'model'
+    (serve.py --tensor_parallelism) decode token-exactly vs single
+    device — the capability that serves models too big for one chip."""
+    from forde_tpu.core import mesh as mesh_lib
+    from forde_tpu.models.generate import generate_cached
+    from forde_tpu.train.state import _leaf_sharding
+
+    cfg = tiny_config(max_seq_len=64, scan_layers=True)
+    model = FORDEDecoderLM(config=cfg)
+    variables = dict(
+        model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    )
+    prompt = jnp.asarray(
+        np.random.RandomState(0).randint(1, cfg.vocab_size, (2, 6)), jnp.int32
+    )
+    ref = np.asarray(
+        generate_cached(
+            model, variables, prompt, jax.random.PRNGKey(1),
+            max_new_tokens=5, temperature=0.0,
+        )
+    )
+    mesh = mesh_lib.create_mesh(data=1, model=2, devices=jax.devices()[:2])
+    sh_vars = jax.tree_util.tree_map_with_path(
+        lambda p, leaf: jax.device_put(leaf, _leaf_sharding(p, leaf, mesh)),
+        variables,
+    )
+    n_sharded = sum(
+        1
+        for leaf in jax.tree.leaves(sh_vars)
+        if hasattr(leaf, "sharding")
+        and "model" in jax.tree.leaves(tuple(leaf.sharding.spec))
+    )
+    assert n_sharded >= 10, n_sharded
+    out = np.asarray(
+        generate_cached(
+            model, sh_vars, prompt, jax.random.PRNGKey(1),
+            max_new_tokens=5, temperature=0.0,
+        )
+    )
+    np.testing.assert_array_equal(ref, out)
