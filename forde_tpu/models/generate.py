@@ -28,7 +28,8 @@ from forde_tpu.models.decoder_lm import FORDEDecoderLM
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id",
+        "model", "max_new_tokens", "temperature", "top_k", "top_p", "eos_id",
+        "pad_id",
     ),
 )
 def generate(
@@ -39,14 +40,17 @@ def generate(
     max_new_tokens: int = 32,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     eos_id: Optional[int] = None,
     pad_id: int = 0,
 ) -> jnp.ndarray:
     """Sample ``max_new_tokens`` continuations of ``prompt_ids`` (B, P).
 
     ``temperature == 0`` -> greedy argmax. ``top_k`` restricts sampling to
-    the k most likely tokens. ``eos_id``: rows that emit it are finished —
-    every later position is ``pad_id``. Returns (B, P + max_new_tokens).
+    the k most likely tokens; ``top_p`` to the nucleus (smallest set with
+    cumulative probability >= top_p; composable with top_k). ``eos_id``:
+    rows that emit it are finished — every later position is ``pad_id``.
+    Returns (B, P + max_new_tokens).
     """
     b, p = prompt_ids.shape
     total = p + max_new_tokens
@@ -60,14 +64,7 @@ def generate(
         )[:, 0, :].astype(jnp.float32)  # (B, V)
 
         key, sample_key = jax.random.split(key)
-        if temperature == 0:
-            next_token = jnp.argmax(next_logits, axis=-1)
-        else:
-            scaled = next_logits / temperature
-            if top_k is not None:
-                kth = jax.lax.top_k(scaled, top_k)[0][:, -1:]
-                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-            next_token = jax.random.categorical(sample_key, scaled, axis=-1)
+        next_token = _sample(next_logits, sample_key, temperature, top_k, top_p)
 
         next_token = jnp.where(done, pad_id, next_token)
         if eos_id is not None:
@@ -84,20 +81,34 @@ def generate(
     return ids
 
 
-def _sample(next_logits, sample_key, temperature, top_k):
+def _sample(next_logits, sample_key, temperature, top_k, top_p=None):
     if temperature == 0:
         return jnp.argmax(next_logits, axis=-1)
     scaled = next_logits / temperature
     if top_k is not None:
         kth = jax.lax.top_k(scaled, top_k)[0][:, -1:]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p is not None:
+        # Nucleus sampling: keep the smallest prefix of the
+        # descending-probability ordering whose mass reaches top_p (the
+        # crossing token included). One vocab sort per step — cheap next
+        # to the decode forward.
+        sorted_desc = -jnp.sort(-scaled, axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p  # mass BEFORE this token still < p
+        threshold = jnp.min(
+            jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+        )
+        scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
     return jax.random.categorical(sample_key, scaled, axis=-1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id",
+        "model", "max_new_tokens", "temperature", "top_k", "top_p", "eos_id",
+        "pad_id",
     ),
 )
 def generate_cached(
@@ -108,6 +119,7 @@ def generate_cached(
     max_new_tokens: int = 32,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     eos_id: Optional[int] = None,
     pad_id: int = 0,
 ) -> jnp.ndarray:
@@ -132,7 +144,7 @@ def generate_cached(
     if model.config.use_sparse_attention:
         return _generate_cached_nsa(
             model, variables, prompt_ids, key, max_new_tokens, temperature,
-            top_k, eos_id, pad_id,
+            top_k, top_p, eos_id, pad_id,
         )
     b, p = prompt_ids.shape
 
@@ -157,7 +169,8 @@ def generate_cached(
     cache = updated["cache"]
     key, sample_key = jax.random.split(key)
     next_token = _sample(
-        logits[:, -1, :].astype(jnp.float32), sample_key, temperature, top_k
+        logits[:, -1, :].astype(jnp.float32), sample_key, temperature, top_k,
+        top_p,
     )
     done = jnp.zeros((b,), bool)
     if eos_id is not None:
@@ -179,7 +192,8 @@ def generate_cached(
         cache = updated["cache"]
         key, sample_key = jax.random.split(key)
         nxt = _sample(
-            logits[:, 0, :].astype(jnp.float32), sample_key, temperature, top_k
+            logits[:, 0, :].astype(jnp.float32), sample_key, temperature,
+            top_k, top_p,
         )
         nxt = jnp.where(done, pad_id, nxt)
         if eos_id is not None:
@@ -198,7 +212,7 @@ def generate_cached(
 
 def _generate_cached_nsa(
     model, variables, prompt_ids, key, max_new_tokens, temperature, top_k,
-    eos_id=None, pad_id=0,
+    top_p=None, eos_id=None, pad_id=0,
 ):
     """NSA cached decoding: parallel teacher-forced prefill (one forward,
     nsa_prefill) then streaming single-token steps for new tokens."""
@@ -210,7 +224,7 @@ def _generate_cached_nsa(
     cache, last_logits = nsa_prefill(model, variables, prompt_ids)
     key, sample_key = jax.random.split(key)
     next_token = _sample(
-        last_logits.astype(jnp.float32), sample_key, temperature, top_k
+        last_logits.astype(jnp.float32), sample_key, temperature, top_k, top_p
     )
     done = jnp.zeros((b,), bool)
     if eos_id is not None:
@@ -230,7 +244,8 @@ def _generate_cached_nsa(
         )
         key, sample_key = jax.random.split(key)
         nxt = _sample(
-            logits[:, 0, :].astype(jnp.float32), sample_key, temperature, top_k
+            logits[:, 0, :].astype(jnp.float32), sample_key, temperature,
+            top_k, top_p,
         )
         nxt = jnp.where(done, pad_id, nxt)
         if eos_id is not None:

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=1.0,
                    help="0 = greedy")
     p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=None,
+                   help="nucleus sampling: smallest probability mass "
+                        ">= top_p (composable with --top_k)")
     p.add_argument("--beam_size", type=int, default=0,
                    help="> 1 switches to beam search (overrides sampling)")
     p.add_argument("--eos_id", type=int, default=None,
@@ -73,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode is token-exact vs single device. For "
                         "throughput serving, batch prompts and shard "
                         "over 'data' via the library (tests/test_generate)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="serve the EMA weights (requires a checkpoint "
+                        "trained with --ema_decay)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -99,6 +105,7 @@ def main(argv: Optional[list] = None) -> None:
     config = None
     moment_dtype = None
     warmup_steps = 0
+    ema_decay = 0.0
     if args.checkpoint_dir:
         from forde_tpu.train.checkpoint import load_model_config, load_train_meta
 
@@ -107,6 +114,7 @@ def main(argv: Optional[list] = None) -> None:
             meta = load_train_meta(args.checkpoint_dir)
             moment_dtype = meta.get("moment_dtype")
             warmup_steps = int(meta.get("warmup_steps", 0) or 0)
+            ema_decay = float(meta.get("ema_decay", 0.0) or 0.0)
             print(f"[serve] model config loaded from "
                   f"{args.checkpoint_dir}/model_config.json")
     if config is None:
@@ -127,6 +135,10 @@ def main(argv: Optional[list] = None) -> None:
         moment_dtype=moment_dtype,
         warmup_steps=warmup_steps,
     )
+    if ema_decay > 0:
+        from forde_tpu.train.ema import init_ema
+
+        state = init_ema(state)  # the saved tree carries ema_params
     if args.checkpoint_dir:
         from forde_tpu.train.checkpoint import restore_checkpoint
 
@@ -135,6 +147,11 @@ def main(argv: Optional[list] = None) -> None:
               f"from {args.checkpoint_dir}")
     else:
         print("[serve] no --checkpoint_dir: random init (smoke mode)")
+    if args.use_ema:
+        from forde_tpu.train.ema import swap_in_ema
+
+        state = swap_in_ema(state)
+        print("[serve] serving EMA weights")
 
     tok = None
     if args.prompt_ids:
@@ -187,7 +204,8 @@ def main(argv: Optional[list] = None) -> None:
         out = generate_cached(
             model, variables, jnp.asarray(ids), jax.random.PRNGKey(args.seed),
             max_new_tokens=args.max_new_tokens, temperature=args.temperature,
-            top_k=args.top_k, eos_id=args.eos_id, pad_id=args.pad_id,
+            top_k=args.top_k, top_p=args.top_p,
+            eos_id=args.eos_id, pad_id=args.pad_id,
         )
     out = np.asarray(out)[0]
     print("token ids:", out.tolist())

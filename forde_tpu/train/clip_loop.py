@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--experiment_name", type=str, default="forde_tpu_clip")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="> 0 keeps an EMA of the params inside the jitted "
+                        "step (checkpointed; eval also reports EMA "
+                        "retrieval when enabled)")
     p.add_argument("--moment_dtype", type=str, default=None,
                    help="Adam moment storage dtype (e.g. bfloat16) — halves "
                         "optimizer HBM traffic; update math stays fp32")
@@ -152,6 +156,10 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     )
     from forde_tpu.train.state import shard_train_state
 
+    if args.ema_decay > 0:
+        from forde_tpu.train.ema import init_ema
+
+        state = init_ema(state)  # before sharding/restore: part of the tree
     state = shard_train_state(state, mesh, param_sharding=args.param_sharding)
     n_params = sum(
         np.prod(p.shape) for p in jax.tree.leaves(state.params)
@@ -170,6 +178,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             train_meta={
                 "moment_dtype": args.moment_dtype,
                 "warmup_steps": args.warmup_steps,
+                "ema_decay": args.ema_decay,
             },
         )
         if args.resume and manager.latest_step() is not None:
@@ -240,6 +249,13 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     nosense_step = (
         make_nosense_step(cfg) if args.sense_interval > 1 else None
     )
+    sensed_step = clip_train_step
+    if args.ema_decay > 0:
+        from forde_tpu.train.ema import with_ema
+
+        sensed_step = with_ema(clip_train_step, args.ema_decay)
+        if nosense_step is not None:
+            nosense_step = with_ema(nosense_step, args.ema_decay)
     meter = ThroughputMeter(items_per_step=args.batch_size)
     sharding = mesh_lib.batch_sharding(mesh)
     step = int(state.step)
@@ -252,7 +268,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             if nosense_step is not None and step % args.sense_interval:
                 state, metrics = nosense_step(state, batch)
             else:
-                state, metrics = clip_train_step(state, batch)
+                state, metrics = sensed_step(state, batch)
             step += 1
             if meter._steps == 0:
                 print(f"first step dispatched at step {step}", flush=True)
@@ -333,6 +349,13 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                     rmetrics = evaluate_retrieval(
                         state, batches_, prefix=prefix
                     )
+                    if args.ema_decay > 0:
+                        from forde_tpu.train.ema import swap_in_ema
+
+                        rmetrics.update(evaluate_retrieval(
+                            swap_in_ema(state), batches_,
+                            prefix=f"ema_{prefix}",
+                        ))
                     writer.scalars(rmetrics, step)
                     print(
                         f"[retrieval/{prefix or 'eval'} @ {step}] "

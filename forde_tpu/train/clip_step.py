@@ -36,6 +36,8 @@ class CLIPTrainState(train_state.TrainState):
     perturbations: core.FrozenDict[str, Any] = core.FrozenDict()
     grad_stats: core.FrozenDict[str, Any] = core.FrozenDict()
     grad_step_count: jnp.ndarray = None
+    # None unless --ema_decay enabled it (train/ema.py)
+    ema_params: Any = None
 
 
 def create_clip_train_state(

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--aux_loss_weight", type=float, default=0.01,
                    help="MoE aux loss weight (reference train.py default)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "step (must divide --batch_size); peak activation "
+                        "memory is one microbatch's")
     # model args (reference train.py:195-207)
     p.add_argument("--d_model", type=int, default=256)
     p.add_argument("--num_layers", type=int, default=4)
@@ -93,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--moment_dtype", type=str, default=None,
                    help="Adam moment storage dtype (e.g. bfloat16) — halves "
                         "optimizer HBM traffic; update math stays fp32")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="> 0 keeps an exponential moving average of the "
+                        "params (updated inside the jitted step, "
+                        "checkpointed; serve --use_ema loads it)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over layers (fast compiles; see PERF.md)")
@@ -206,6 +214,16 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         # microbatch (pipeline.py shards microbatch examples over data)
     else:
         mesh_batch = args.batch_size
+    if args.grad_accum > 1:
+        if pp > 1:
+            raise ValueError("--grad_accum does not compose with "
+                             "--pipeline_parallelism (GPipe already "
+                             "microbatches); use --pp_microbatches")
+        if args.batch_size % args.grad_accum:
+            raise ValueError(f"--grad_accum {args.grad_accum} must divide "
+                             f"--batch_size {args.batch_size}")
+        # the data axis shards ONE microbatch at a time
+        mesh_batch = args.batch_size // args.grad_accum
 
     mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh_for_batch(
@@ -234,6 +252,12 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         warmup_steps=args.warmup_steps,
         moment_dtype=args.moment_dtype,
     )
+    if args.ema_decay > 0:
+        from forde_tpu.train.ema import init_ema
+
+        # before sharding/restore: the EMA tree is part of the state's
+        # structure (checkpoints and shardings must see it)
+        state = init_ema(state)
     state = shard_train_state(state, mesh, param_sharding=args.param_sharding)
 
     manager = None
@@ -248,6 +272,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                 # scale for a stateful schedule (ScaleByScheduleState).
                 "moment_dtype": args.moment_dtype,
                 "warmup_steps": args.warmup_steps,
+                "ema_decay": args.ema_decay,
             },
         )
         if args.resume and manager.latest_step() is not None:
@@ -288,11 +313,21 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             aux_loss_weight=args.aux_loss_weight,
         )
         step_fn = pp_step
+    elif args.grad_accum > 1:
+        from forde_tpu.train.step import make_accum_train_step
+
+        step_fn = make_accum_train_step(
+            args.grad_accum, aux_loss_weight=args.aux_loss_weight
+        )
     else:
         def step_fn(state, batch):
             return train_step(
                 state, batch, aux_loss_weight=args.aux_loss_weight
             )
+    if args.ema_decay > 0:
+        from forde_tpu.train.ema import with_ema
+
+        step_fn = with_ema(step_fn, args.ema_decay)
 
     meter = ThroughputMeter(items_per_step=args.batch_size * args.seq_len)
     batch_sharding = mesh_lib.tokens_sharding(mesh)

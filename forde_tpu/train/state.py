@@ -28,9 +28,14 @@ from forde_tpu.models.decoder_lm import FORDEDecoderLM
 
 
 class TrainState(train_state.TrainState):
-    """TrainState + stats_buffer (reference train.py:48-51)."""
+    """TrainState + stats_buffer (reference train.py:48-51).
+
+    ``ema_params`` is None unless --ema_decay enabled it (train/ema.py);
+    when present it mirrors the param tree and checkpoints/shards with it.
+    """
 
     stats_buffer: core.FrozenDict[str, Any] = core.FrozenDict()
+    ema_params: Any = None
 
 
 def make_optimizer(

@@ -78,6 +78,32 @@ def test_top_k_restricts_support():
     np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
 
 
+def test_top_p_restricts_support():
+    """Tiny top_p == greedy; _sample's nucleus keeps the crossing token."""
+    from forde_tpu.models.generate import _sample
+
+    cfg, model, variables = _model_and_vars()
+    prompt = jnp.ones((1, 4), jnp.int32)
+    g = generate(
+        model, variables, prompt, jax.random.PRNGKey(3), max_new_tokens=5,
+        temperature=0,
+    )
+    # top_p -> 0 keeps only the argmax token (the crossing token rule)
+    p0 = generate(
+        model, variables, prompt, jax.random.PRNGKey(11), max_new_tokens=5,
+        temperature=2.0, top_p=1e-6,
+    )
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(p0))
+
+    # direct unit check: mass {0.5, 0.3, 0.2}, top_p=0.6 keeps {0, 1}
+    logits = jnp.log(jnp.array([[0.5, 0.3, 0.2]], jnp.float32))
+    draws = [
+        int(_sample(logits, jax.random.PRNGKey(s), 1.0, None, 0.6)[0])
+        for s in range(64)
+    ]
+    assert set(draws) <= {0, 1} and len(set(draws)) == 2
+
+
 def test_cached_generation_matches_full_recompute():
     """KV-cache greedy decode == full-recompute greedy decode (no-NSA cfg)."""
     from forde_tpu.models.generate import generate_cached

@@ -144,3 +144,86 @@ def test_restore_needs_matching_warmup_opt_state(tmp_path):
     bad = create_train_state(cfg, jax.random.PRNGKey(1), 1e-3, 0.0)
     with pytest.raises(Exception):
         ckpt_lib.restore_checkpoint(d, bad)
+
+
+def test_grad_accum_matches_full_batch_no_moe():
+    """make_accum_train_step(A) == train_step on the full batch when the
+    loss is linear in batch composition (no MoE aux): params match ~1e-5."""
+    from tests.test_decoder_model import tiny_config
+    from forde_tpu.train.step import make_accum_train_step, train_step
+
+    cfg = tiny_config(use_moe=False, use_sparse_attention=False)
+    batch = {
+        "input_ids": jnp.asarray(
+            np.random.RandomState(0).randint(0, cfg.vocab_size, (4, 16)),
+            jnp.int32,
+        )
+    }
+    import optax
+
+    def mk():
+        # SGD so the update is LINEAR in the gradient (Adam's g/(|g|+eps)
+        # amplifies fp32 summation-order noise on near-zero elements)
+        st = create_train_state(
+            cfg, jax.random.PRNGKey(0), 1e-2, 0.0, init_batch_shape=(1, 16)
+        )
+        tx = optax.sgd(1e-1)
+        return st.replace(tx=tx, opt_state=tx.init(st.params))
+
+    full, m_full = train_step(mk(), batch, aux_loss_weight=0.0)
+    acc, m_acc = make_accum_train_step(2, aux_loss_weight=0.0)(mk(), batch)
+    np.testing.assert_allclose(
+        float(m_full["loss/lm"]), float(m_acc["loss/lm"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_full["training/grad_norm"]),
+        float(m_acc["training/grad_norm"]), rtol=1e-4,
+    )
+    for a, b in zip(jax.tree.leaves(full.params), jax.tree.leaves(acc.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_grad_accum_moe_stats_advance_per_microbatch():
+    """MoE path: stats_buffer step_count advances accum_steps per
+    optimizer step (usage/step_count normalization stays consistent)."""
+    from tests.test_decoder_model import tiny_config
+    from forde_tpu.train.step import make_accum_train_step
+
+    cfg = tiny_config()
+    state = create_train_state(
+        cfg, jax.random.PRNGKey(0), 1e-2, 0.0, init_batch_shape=(1, 16)
+    )
+    batch = {
+        "input_ids": jnp.asarray(
+            np.random.RandomState(1).randint(0, cfg.vocab_size, (4, 16)),
+            jnp.int32,
+        )
+    }
+    new, metrics = make_accum_train_step(4, aux_loss_weight=0.01)(state, batch)
+    assert np.isfinite(float(metrics["loss/total"]))
+    counts = [
+        np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            new.stats_buffer
+        )[0]
+        if "step_count" in jax.tree_util.keystr(path)
+    ]
+    assert counts and all(int(c.max()) == 4 for c in counts)
+
+
+def test_grad_accum_cli_smoke():
+    args = build_parser().parse_args(
+        [
+            "--batch_size", "4", "--grad_accum", "2", "--seq_len", "16",
+            "--d_model", "32", "--num_layers", "1", "--num_heads", "2",
+            "--num_experts", "2", "--window_size", "8",
+            "--steps_per_epoch", "2", "--num_epochs", "1",
+            "--use_dummy_data", "--slow_loop_interval", "0",
+            "--log_interval", "1", "--plots_dir", "",
+        ]
+    )
+    out = train(args)
+    assert out["step"] == 2
+    assert np.isfinite(out["final_metrics"]["loss/total"])
