@@ -81,12 +81,10 @@ def generate(
     return ids
 
 
-def _sample(next_logits, sample_key, temperature, top_k, top_p=None):
-    if temperature == 0:
-        return jnp.argmax(next_logits, axis=-1)
-    scaled = next_logits / temperature
+def _filter_logits(scaled, top_k, top_p):
+    """Apply top-k then nucleus (top-p) filtering to (..., V) logits."""
     if top_k is not None:
-        kth = jax.lax.top_k(scaled, top_k)[0][:, -1:]
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
     if top_p is not None:
         # Nucleus sampling: keep the smallest prefix of the
@@ -101,7 +99,16 @@ def _sample(next_logits, sample_key, temperature, top_k, top_p=None):
             jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
         )
         scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
-    return jax.random.categorical(sample_key, scaled, axis=-1)
+    return scaled
+
+
+def _sample(next_logits, sample_key, temperature, top_k, top_p=None):
+    if temperature == 0:
+        return jnp.argmax(next_logits, axis=-1)
+    return jax.random.categorical(
+        sample_key, _filter_logits(next_logits / temperature, top_k, top_p),
+        axis=-1,
+    )
 
 
 @functools.partial(

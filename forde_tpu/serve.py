@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ema", action="store_true",
                    help="serve the EMA weights (requires a checkpoint "
                         "trained with --ema_decay)")
+    p.add_argument("--draft_checkpoint_dir", type=str, default=None,
+                   help="enable speculative decoding: a (smaller) draft "
+                        "model checkpoint with model_config.json; both "
+                        "models must be dense-causal (--no_nsa) and share "
+                        "the vocab (models/speculative.py)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculative decoding: draft proposals per round")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -191,7 +198,50 @@ def main(argv: Optional[list] = None) -> None:
             variables,
         )
         print(f"[serve] mesh serving: {dict(mesh.shape)}")
-    if args.beam_size > 1:
+    if args.draft_checkpoint_dir:
+        from forde_tpu.models.speculative import generate_speculative
+        from forde_tpu.train.checkpoint import (
+            load_model_config,
+            load_train_meta,
+            restore_checkpoint,
+        )
+
+        dcfg = load_model_config(args.draft_checkpoint_dir)
+        assert dcfg is not None, (
+            "--draft_checkpoint_dir needs a checkpoint with "
+            "model_config.json (written by train.loop)"
+        )
+        dmeta = load_train_meta(args.draft_checkpoint_dir)
+        dstate = create_train_state(
+            dcfg.replace(dropout_rate=0.0), jax.random.PRNGKey(1),
+            learning_rate=1e-4, weight_decay=0.0,
+            init_batch_shape=(1, min(args.seq_len, dcfg.max_seq_len)),
+            moment_dtype=dmeta.get("moment_dtype"),
+            warmup_steps=int(dmeta.get("warmup_steps", 0) or 0),
+        )
+        if float(dmeta.get("ema_decay", 0.0) or 0.0) > 0:
+            from forde_tpu.train.ema import init_ema
+
+            dstate = init_ema(dstate)
+        dstate = restore_checkpoint(args.draft_checkpoint_dir, dstate)
+        print(f"[serve] speculative decoding: draft restored step "
+              f"{int(dstate.step)} (gamma={args.gamma})")
+        draft_model = FORDEDecoderLM(config=dcfg.replace(dropout_rate=0.0))
+        dvars = {
+            "params": dstate.params, "stats_buffer": dstate.stats_buffer,
+        }
+        out, stats = generate_speculative(
+            model, variables, draft_model, dvars, jnp.asarray(ids),
+            jax.random.PRNGKey(args.seed),
+            max_new_tokens=args.max_new_tokens, gamma=args.gamma,
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
+            with_stats=True,
+        )
+        r, g = int(stats["rounds"]), int(stats["generated"])
+        print(f"[serve] speculative: {g} tokens in {r} target forwards "
+              f"({g / max(r, 1):.2f} tokens/forward)")
+    elif args.beam_size > 1:
         from forde_tpu.models.generate import generate_beam
 
         out = generate_beam(

@@ -104,3 +104,43 @@ def test_serve_eos_id_stops_and_pads(capsys):
     assert out[:3] == [5, 17, 20]
     assert out[3] == eos  # the EOS token itself is kept
     assert out[4:] == [99] * (len(out) - 4)  # everything after is pad
+
+
+def test_serve_speculative_decoding(tmp_path, capsys):
+    """Target + draft checkpoints -> serve --draft_checkpoint_dir decodes
+    speculatively; greedy output must equal plain greedy serving."""
+    from forde_tpu import serve
+    from forde_tpu.train import loop as train_loop
+
+    common = [
+        "--use_dummy_data", "--steps_per_epoch", "2", "--num_epochs", "1",
+        "--batch_size", "2", "--seq_len", "32", "--no_nsa",
+        "--d_model", "32", "--num_heads", "2",
+        "--num_experts", "2", "--window_size", "8",
+        "--slow_loop_interval", "0", "--log_interval", "1",
+        "--plots_dir", "",
+    ]
+    tgt = str(tmp_path / "tgt")
+    drf = str(tmp_path / "drf")
+    train_loop.train(train_loop.build_parser().parse_args(
+        common + ["--num_layers", "2", "--checkpoint_dir", tgt]))
+    train_loop.train(train_loop.build_parser().parse_args(
+        common + ["--num_layers", "1", "--checkpoint_dir", drf]))
+
+    serve.main([
+        "--checkpoint_dir", tgt,
+        "--prompt_ids", "5,17,20", "--max_new_tokens", "4",
+        "--temperature", "0",
+    ])
+    plain = eval(capsys.readouterr().out.split("token ids:")[1].splitlines()[0])
+
+    serve.main([
+        "--checkpoint_dir", tgt, "--draft_checkpoint_dir", drf,
+        "--gamma", "2",
+        "--prompt_ids", "5,17,20", "--max_new_tokens", "4",
+        "--temperature", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "speculative" in out
+    spec = eval(out.split("token ids:")[1].splitlines()[0])
+    assert spec == plain
