@@ -104,6 +104,10 @@ class LLMConfig:
     # 12-layer NSA+MoE+mHC step took 30+ min to compile through the remote
     # compiler). Parameters and stats_buffer get a leading (L,) axis.
     scan_layers: bool = False
+    # Weight-only int8 serving (ops/quant.py): the attention/FFN/lm_head
+    # Dense layers consume int8 kernels + per-channel scales produced by
+    # quantize_params. Serving only — there is no quantized training path.
+    quantized: bool = False
     dtypes: DTypePolicy = field(default_factory=DTypePolicy)
 
     def replace(self, **kw) -> "LLMConfig":

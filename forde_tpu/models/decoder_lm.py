@@ -91,6 +91,7 @@ class DecoderBlock(nn.Module):
                 dtype=dtype,
                 max_decode_len=cfg.max_seq_len,
                 mesh=self.mesh,
+                quantized=cfg.quantized,
                 name="causal_attention",
             )(attn_input, mask, decode=decode)
 
@@ -124,11 +125,15 @@ class DecoderBlock(nn.Module):
                 name="moe",
             )(ffn_input)
         else:
-            ffn_output = nn.Dense(cfg.expert_hidden_dim, name="ffn_up", dtype=dtype)(
+            if cfg.quantized:
+                from forde_tpu.ops.quant import QDense as FFNDense
+            else:
+                FFNDense = nn.Dense
+            ffn_output = FFNDense(cfg.expert_hidden_dim, name="ffn_up", dtype=dtype)(
                 ffn_input
             )
             ffn_output = nn.gelu(ffn_output)
-            ffn_output = nn.Dense(cfg.d_model, name="ffn_down", dtype=dtype)(
+            ffn_output = FFNDense(cfg.d_model, name="ffn_down", dtype=dtype)(
                 ffn_output
             )
             moe_aux_loss = jnp.array(0.0)
@@ -289,12 +294,17 @@ class FORDEDecoderLM(nn.Module):
             )(streams)
         x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
 
-        logits = nn.Dense(
-            cfg.vocab_size,
-            name="lm_head",
-            kernel_init=nn.initializers.normal(stddev=0.02),
-            dtype=dtype,
-        )(x)
+        if cfg.quantized:
+            from forde_tpu.ops.quant import QDense
+
+            logits = QDense(cfg.vocab_size, name="lm_head", dtype=dtype)(x)
+        else:
+            logits = nn.Dense(
+                cfg.vocab_size,
+                name="lm_head",
+                kernel_init=nn.initializers.normal(stddev=0.02),
+                dtype=dtype,
+            )(x)
         return logits.astype(jnp.float32), total_aux_loss
 
 

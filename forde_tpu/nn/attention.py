@@ -202,13 +202,20 @@ class CausalSelfAttention(nn.Module):
     # ring attention over ICI (parallel/ring_attention.py) instead of the
     # single-chip flash kernel.
     mesh: Optional[Mesh] = None
+    # int8 weight-only serving: projections consume quantized kernels
+    # (ops/quant.QDense; params produced by quant.quantize_params)
+    quantized: bool = False
 
     @nn.compact
     def __call__(
         self, x, mask: Optional[jnp.ndarray] = None, decode: bool = False
     ):
+        if self.quantized:
+            from forde_tpu.ops.quant import QDense as DenseCls
+        else:
+            DenseCls = nn.Dense
         b, s, d_model = x.shape
-        qkv = nn.Dense(
+        qkv = DenseCls(
             3 * self.num_heads * self.head_dim, name="qkv_proj", dtype=self.dtype
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -256,7 +263,7 @@ class CausalSelfAttention(nn.Module):
         else:
             out = flash_attention(q, k, v, causal=True, impl=self.impl)
         out = _merge_heads(out)
-        return nn.Dense(d_model, name="out_proj", dtype=self.dtype)(out)
+        return DenseCls(d_model, name="out_proj", dtype=self.dtype)(out)
 
 
 class NativeSparseAttention(nn.Module):

@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the vocab (models/speculative.py)")
     p.add_argument("--gamma", type=int, default=4,
                    help="speculative decoding: draft proposals per round")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="weight-only int8 serving: attention/FFN/lm_head "
+                        "kernels quantized per-channel at load, matmuls "
+                        "run int8 on the MXU (ops/quant.py)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -178,6 +182,17 @@ def main(argv: Optional[list] = None) -> None:
         f"({ids.shape[1]} + {args.max_new_tokens} > {config.max_seq_len})"
     )
 
+    if args.quantize:
+        assert args.tensor_parallelism == 1, (
+            "--quantize does not compose with --tensor_parallelism yet "
+            "(the TP sharding rules match fp kernel names)"
+        )
+        from forde_tpu.ops.quant import quantize_params
+
+        config = config.replace(quantized=True)
+        state = state.replace(params=quantize_params(state.params))
+        print("[serve] int8 weight-only quantization applied "
+              "(attention/FFN/lm_head kernels)")
     model = FORDEDecoderLM(config=config)
     variables = {"params": state.params, "stats_buffer": state.stats_buffer}
     if args.tensor_parallelism > 1:

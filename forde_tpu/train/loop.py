@@ -101,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="> 0 keeps an exponential moving average of the "
                         "params (updated inside the jitted step, "
                         "checkpointed; serve --use_ema loads it)")
+    p.add_argument("--distill_from", type=str, default=None,
+                   help="teacher checkpoint dir (with model_config.json): "
+                        "adds a KL term against the frozen teacher's "
+                        "logits (train/distill.py) — e.g. train a small "
+                        "draft for speculative serving")
+    p.add_argument("--distill_alpha", type=float, default=0.5,
+                   help="weight of the hard-label CE term (1-alpha on KL)")
+    p.add_argument("--distill_temperature", type=float, default=2.0)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over layers (fast compiles; see PERF.md)")
@@ -313,6 +321,23 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             aux_loss_weight=args.aux_loss_weight,
         )
         step_fn = pp_step
+    elif args.distill_from:
+        if args.grad_accum > 1:
+            raise ValueError("--distill_from does not compose with "
+                             "--grad_accum yet")
+        from forde_tpu.train.distill import load_teacher, make_distill_step
+
+        teacher_model, teacher_vars = load_teacher(args.distill_from)
+        if teacher_model.config.vocab_size != config.vocab_size:
+            raise ValueError("teacher/student vocab mismatch")
+        print(f"distilling from {args.distill_from} "
+              f"(alpha={args.distill_alpha}, T={args.distill_temperature})")
+        step_fn = make_distill_step(
+            teacher_model, teacher_vars,
+            aux_loss_weight=args.aux_loss_weight,
+            alpha=args.distill_alpha,
+            temperature=args.distill_temperature,
+        )
     elif args.grad_accum > 1:
         from forde_tpu.train.step import make_accum_train_step
 

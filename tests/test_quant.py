@@ -1,0 +1,107 @@
+"""Weight-only int8 serving: kernel accuracy, param-tree rewrite,
+end-to-end logits closeness, decode + serve smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forde_tpu.models.decoder_lm import FORDEDecoderLM
+from forde_tpu.ops.quant import int8_dense, quantize_params, quantize_weight
+from tests.test_decoder_model import tiny_config
+
+
+def test_int8_dense_matches_fp_within_quant_error():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 64), jnp.float32)
+    w = jnp.asarray(rng.randn(64, 32), jnp.float32)
+    b = jnp.asarray(rng.randn(32), jnp.float32)
+    q, scale = quantize_weight(w)
+    assert q.dtype == jnp.int8 and scale.shape == (32,)
+    got = np.asarray(int8_dense(x, q, scale, b))
+    want = np.asarray(x @ w + b)
+    # int8 weight + int8 activation rounding: ~1% of the output scale
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 0.02
+
+
+def test_quantize_weight_stacked_layout():
+    """scan_layers kernels are (L, din, dout): per-(layer, channel) scales."""
+    w = jnp.asarray(np.random.RandomState(1).randn(3, 16, 8), jnp.float32)
+    q, scale = quantize_weight(w)
+    assert q.shape == (3, 16, 8) and scale.shape == (3, 8)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)[:, None, :]
+    assert np.abs(deq - np.asarray(w)).max() < np.asarray(scale).max() * 0.51
+
+
+def _logits(model, variables, ids):
+    (logits, _), _ = model.apply(variables, ids, mutable=["stats_buffer"])
+    return np.asarray(logits)
+
+
+def _quant_pair(**kw):
+    cfg = tiny_config(use_sparse_attention=False, **kw)
+    model = FORDEDecoderLM(config=cfg)
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 12)),
+        jnp.int32,
+    )
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    qcfg = cfg.replace(quantized=True)
+    qmodel = FORDEDecoderLM(config=qcfg)
+    qvars = {
+        "params": quantize_params(variables["params"]),
+        "stats_buffer": variables["stats_buffer"],
+    }
+    return model, variables, qmodel, qvars, ids
+
+
+def test_quantized_logits_close_unrolled_and_scanned():
+    for kw in ({}, {"scan_layers": True}):
+        model, variables, qmodel, qvars, ids = _quant_pair(**kw)
+        want = _logits(model, variables, ids)
+        got = _logits(qmodel, qvars, ids)
+        # end-to-end int8 error stays well under the logit scale
+        denom = np.abs(want).max()
+        assert np.abs(got - want).max() / denom < 0.05, kw
+        # and the argmax chain barely moves on most positions
+        agree = (got.argmax(-1) == want.argmax(-1)).mean()
+        assert agree > 0.8, (kw, agree)
+
+
+def test_quantized_generate_cached_runs():
+    from forde_tpu.models.generate import generate_cached
+
+    _, _, qmodel, qvars, _ = _quant_pair()
+    prompt = jnp.asarray([[5, 17, 200]], jnp.int32)
+    out = generate_cached(
+        qmodel, qvars, prompt, jax.random.PRNGKey(0),
+        max_new_tokens=6, temperature=0,
+    )
+    out = np.asarray(out)
+    assert out.shape == (1, 9)
+    np.testing.assert_array_equal(out[0, :3], [5, 17, 200])
+    assert (out >= 0).all() and (out < qmodel.config.vocab_size).all()
+
+
+def test_serve_quantize_smoke(tmp_path, capsys):
+    from forde_tpu import serve
+    from forde_tpu.train import loop as train_loop
+
+    ckpt = str(tmp_path / "ckpt")
+    train_loop.train(train_loop.build_parser().parse_args([
+        "--use_dummy_data", "--steps_per_epoch", "2", "--num_epochs", "1",
+        "--batch_size", "2", "--seq_len", "32", "--no_nsa",
+        "--d_model", "32", "--num_layers", "1", "--num_heads", "2",
+        "--num_experts", "2", "--window_size", "8",
+        "--slow_loop_interval", "0", "--log_interval", "1",
+        "--plots_dir", "", "--checkpoint_dir", ckpt,
+    ]))
+    serve.main([
+        "--checkpoint_dir", ckpt, "--quantize", "int8",
+        "--prompt_ids", "5,17,20", "--max_new_tokens", "4",
+        "--temperature", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "int8 weight-only quantization applied" in out
+    ids = eval(out.split("token ids:")[1].splitlines()[0])
+    assert ids[:3] == [5, 17, 20] and len(ids) == 7

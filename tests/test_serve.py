@@ -144,3 +144,16 @@ def test_serve_speculative_decoding(tmp_path, capsys):
     assert "speculative" in out
     spec = eval(out.split("token ids:")[1].splitlines()[0])
     assert spec == plain
+
+    # the advertised combo: int8 target + fp draft (smoke; quantization
+    # error may legitimately change the greedy chain)
+    serve.main([
+        "--checkpoint_dir", tgt, "--draft_checkpoint_dir", drf,
+        "--gamma", "2", "--quantize", "int8",
+        "--prompt_ids", "5,17,20", "--max_new_tokens", "4",
+        "--temperature", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "int8 weight-only quantization applied" in out
+    qids = eval(out.split("token ids:")[1].splitlines()[0])
+    assert qids[:3] == [5, 17, 20] and len(qids) == 7
