@@ -122,6 +122,7 @@ class DecoderBlock(nn.Module):
                 capacity_factor=cfg.moe_capacity_factor,
                 dtype=dtype,
                 mesh=self.mesh,
+                quantized=cfg.quantized,
                 name="moe",
             )(ffn_input)
         else:

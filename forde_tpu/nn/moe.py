@@ -45,16 +45,54 @@ class ExpertsFFN(nn.Module):
     hidden_dim: int
     d_model: int
     dtype: jnp.dtype = jnp.float32
+    # int8 weight-only serving (ops/quant.py): stacked expert tensors are
+    # stored int8 with per-(expert, out-channel) scales; both einsums run
+    # int8 with dynamically-quantized activations.
+    quantized: bool = False
 
     def setup(self):
         e, d, h = self.num_experts, self.d_model, self.hidden_dim
-        self.w_up = self.param("w_up", _expert_kernel_init, (e, d, h))
+        if self.quantized:
+            int8_zeros = lambda key, shape: jnp.zeros(shape, jnp.int8)  # noqa: E731
+            self.w_up_q = self.param("w_up_q", int8_zeros, (e, d, h))
+            self.w_up_scale = self.param(
+                "w_up_scale", nn.initializers.ones, (e, h), jnp.float32
+            )
+            self.w_down_q = self.param("w_down_q", int8_zeros, (e, h, d))
+            self.w_down_scale = self.param(
+                "w_down_scale", nn.initializers.ones, (e, d), jnp.float32
+            )
+        else:
+            self.w_up = self.param("w_up", _expert_kernel_init, (e, d, h))
+            self.w_down = self.param("w_down", _expert_kernel_init, (e, h, d))
         self.b_up = self.param("b_up", nn.initializers.zeros, (e, h))
-        self.w_down = self.param("w_down", _expert_kernel_init, (e, h, d))
         self.b_down = self.param("b_down", nn.initializers.zeros, (e, d))
+
+    def _q_einsum(self, spec, x, w_q, w_scale, scale_shape):
+        """int8 einsum with dynamic per-row activation quantization."""
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scale = jnp.maximum(amax, 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        acc = jnp.einsum(spec, xq, w_q, preferred_element_type=jnp.int32)
+        # x_scale (rows..., 1) broadcasts against the output's trailing
+        # channel dim; w_scale is reshaped to line up per output spec
+        return acc.astype(jnp.float32) * x_scale * w_scale.reshape(scale_shape)
 
     def all_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
         """Dense mode: run every expert on every token. x (B,S,D) -> (E,B,S,D)."""
+        if self.quantized:
+            e, h, d = self.num_experts, self.hidden_dim, self.d_model
+            # (B,S,1) activation scales broadcast against (E,B,S,F)
+            hid = self._q_einsum(
+                "bsd,edh->ebsh", x, self.w_up_q, self.w_up_scale, (e, 1, 1, h)
+            ) + self.b_up[:, None, None, :]
+            hid = nn.gelu(hid)
+            out = self._q_einsum(
+                "ebsh,ehd->ebsd", hid, self.w_down_q, self.w_down_scale,
+                (e, 1, 1, d),
+            ) + self.b_down[:, None, None, :]
+            return out.astype(self.dtype)
         w_up = self.w_up.astype(self.dtype)
         w_down = self.w_down.astype(self.dtype)
         h = jnp.einsum("bsd,edh->ebsh", x, w_up) + self.b_up.astype(self.dtype)[
@@ -67,10 +105,23 @@ class ExpertsFFN(nn.Module):
 
     def raw_params(self):
         """Expose the stacked tensors for the explicit-EP shard_map path."""
+        assert not self.quantized, "dispatch='ep' serves fp experts only"
         return self.w_up, self.b_up, self.w_down, self.b_down
 
     def dispatched(self, expert_inputs: jnp.ndarray) -> jnp.ndarray:
         """Capacity mode: per-expert buffers (E, C, D) -> (E, C, D)."""
+        if self.quantized:
+            e, h, d = self.num_experts, self.hidden_dim, self.d_model
+            hid = self._q_einsum(
+                "ecd,edh->ech", expert_inputs, self.w_up_q, self.w_up_scale,
+                (e, 1, h),
+            ) + self.b_up[:, None, :]
+            hid = nn.gelu(hid)
+            out = self._q_einsum(
+                "ech,ehd->ecd", hid, self.w_down_q, self.w_down_scale,
+                (e, 1, d),
+            ) + self.b_down[:, None, :]
+            return out.astype(self.dtype)
         w_up = self.w_up.astype(self.dtype)
         w_down = self.w_down.astype(self.dtype)
         h = jnp.einsum("ecd,edh->ech", expert_inputs, w_up) + self.b_up.astype(
@@ -115,9 +166,14 @@ class MoELayer(nn.Module):
     # Required for dispatch="ep": the device mesh whose ``expert`` axis
     # shards the stacked expert tensors (explicit shard_map EP).
     mesh: Optional[Mesh] = None
+    # int8 weight-only serving (dense/capacity dispatch only)
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        if self.quantized and self.dispatch == "ep":
+            raise ValueError("quantized serving supports dense/capacity "
+                             "dispatch (EP shard_map moves fp tensors)")
         b, s, d_model = x.shape
 
         router_logits = MoERouter(
@@ -136,6 +192,7 @@ class MoELayer(nn.Module):
             hidden_dim=self.expert_hidden_dim,
             d_model=d_model,
             dtype=self.dtype,
+            quantized=self.quantized,
             name="experts",
         )
 
@@ -209,6 +266,7 @@ class MoEStatefulLayer(nn.Module):
     capacity_factor: float = 2.0
     dtype: jnp.dtype = jnp.float32
     mesh: Optional[Mesh] = None
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -222,6 +280,7 @@ class MoEStatefulLayer(nn.Module):
             capacity_factor=self.capacity_factor,
             dtype=self.dtype,
             mesh=self.mesh,
+            quantized=self.quantized,
             name="moe_layer",
         )(x)
 

@@ -119,15 +119,29 @@ def quantize_params(params):
     replaced by {kernel_q, scale, bias}. Everything else passes through
     (embeddings, norms, mHC, MoE experts, NSA projections)."""
 
-    def walk(name, node):
+    def walk(name, node, in_nsa):
         if isinstance(node, dict) or hasattr(node, "items"):
-            if name in QUANT_MODULE_NAMES and "kernel" in node:
+            # NSA branch projections (incl. its local qkv_proj) stay fp:
+            # the NSA module keeps nn.Dense and nsa_prefill reads the raw
+            # kernels (models/generate.py)
+            in_nsa = in_nsa or name == "sparse_attention"
+            if not in_nsa and name in QUANT_MODULE_NAMES and "kernel" in node:
                 q, scale = quantize_weight(node["kernel"])
                 out = {"kernel_q": q, "scale": scale}
                 if "bias" in node:
                     out["bias"] = node["bias"].astype(jnp.float32)
                 return out
-            return {k: walk(k, v) for k, v in node.items()}
+            if name == "experts" and "w_up" in node:
+                # stacked MoE expert bank (nn/moe.ExpertsFFN)
+                up_q, up_s = quantize_weight(node["w_up"])
+                dn_q, dn_s = quantize_weight(node["w_down"])
+                return {
+                    "w_up_q": up_q, "w_up_scale": up_s,
+                    "w_down_q": dn_q, "w_down_scale": dn_s,
+                    "b_up": node["b_up"].astype(jnp.float32),
+                    "b_down": node["b_down"].astype(jnp.float32),
+                }
+            return {k: walk(k, v, in_nsa) for k, v in node.items()}
         return node
 
-    return walk("", jax.tree_util.tree_map(lambda x: x, params))
+    return walk("", params, False)

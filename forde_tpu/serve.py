@@ -88,8 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="speculative decoding: draft proposals per round")
     p.add_argument("--quantize", choices=["int8"], default=None,
                    help="weight-only int8 serving: attention/FFN/lm_head "
-                        "kernels quantized per-channel at load, matmuls "
-                        "run int8 on the MXU (ops/quant.py)")
+                        "kernels AND the stacked MoE expert bank "
+                        "quantized per-channel at load, matmuls run int8 "
+                        "on the MXU; NSA branch projections stay fp "
+                        "(ops/quant.py)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
