@@ -219,12 +219,29 @@ def tp_param_spec(names: Sequence[str], leaf) -> Optional[tuple]:
         return _at(-1)
     if last == "kernel" and parent in _TP_ROW_PARALLEL:
         return _at(-2) if leaf.ndim >= 2 else None
+    # int8 serving layout (ops/quant.QDense): kernel_q splits like its fp
+    # kernel; per-out-channel scales follow the output dim (so they stay
+    # replicated for row-parallel, where outputs are full-width partials)
+    if last == "kernel_q" and parent in _TP_COLUMN_PARALLEL:
+        return _at(-1)
+    if last == "scale" and parent in _TP_COLUMN_PARALLEL:
+        return _at(-1)
+    if last == "kernel_q" and parent in _TP_ROW_PARALLEL:
+        return _at(-2) if leaf.ndim >= 2 else None
     # row-parallel biases stay replicated (added after the all-reduce)
     if last == "w_up":
         return _at(-1)
     if last == "b_up":
         return _at(-1)
     if last == "w_down":
+        return _at(-2) if leaf.ndim >= 2 else None
+    # quantized expert bank: mirrors w_up/w_down; w_up per-channel scale
+    # follows the hidden dim, w_down's stays replicated
+    if last == "w_up_q":
+        return _at(-1)
+    if last == "w_up_scale":
+        return _at(-1)
+    if last == "w_down_q":
         return _at(-2) if leaf.ndim >= 2 else None
     return None
 

@@ -185,10 +185,6 @@ def main(argv: Optional[list] = None) -> None:
     )
 
     if args.quantize:
-        assert args.tensor_parallelism == 1, (
-            "--quantize does not compose with --tensor_parallelism yet "
-            "(the TP sharding rules match fp kernel names)"
-        )
         from forde_tpu.ops.quant import quantize_params
 
         config = config.replace(quantized=True)

@@ -166,3 +166,48 @@ def test_quantized_nsa_generate_cached_runs():
     ))
     assert out.shape == (1, 9)
     np.testing.assert_array_equal(out[0, :3], [5, 17, 200])
+
+
+def test_quantized_tensor_parallel_serving():
+    """int8 serving composes with Megatron TP: kernel_q/scale leaves pick
+    up model-axis shardings (core/mesh.tp_param_spec) and the sharded
+    quantized decode matches the single-device quantized decode."""
+    from forde_tpu.core import mesh as mesh_lib
+    from forde_tpu.models.generate import generate_cached
+    from forde_tpu.train.state import _leaf_sharding
+
+    cfg = tiny_config(
+        use_sparse_attention=False, max_seq_len=64, scan_layers=True
+    )
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    qmodel = FORDEDecoderLM(config=cfg.replace(quantized=True))
+    qvars = {
+        "params": quantize_params(variables["params"]),
+        "stats_buffer": variables["stats_buffer"],
+    }
+    prompt = jnp.asarray(
+        np.random.RandomState(0).randint(1, cfg.vocab_size, (2, 6)), jnp.int32
+    )
+    ref = np.asarray(generate_cached(
+        qmodel, qvars, prompt, jax.random.PRNGKey(1),
+        max_new_tokens=5, temperature=0.0,
+    ))
+    mesh = mesh_lib.create_mesh(data=1, model=2, devices=jax.devices()[:2])
+    sh_vars = jax.tree_util.tree_map_with_path(
+        lambda p, leaf: jax.device_put(leaf, _leaf_sharding(p, leaf, mesh)),
+        qvars,
+    )
+    n_sharded = sum(
+        1
+        for leaf in jax.tree.leaves(sh_vars)
+        if hasattr(leaf, "sharding")
+        and "model" in jax.tree.leaves(tuple(leaf.sharding.spec))
+    )
+    # qkv_proj/out_proj kernel_q (+ column scales), expert bank q/scales
+    assert n_sharded >= 6, n_sharded
+    out = np.asarray(generate_cached(
+        qmodel, sh_vars, prompt, jax.random.PRNGKey(1),
+        max_new_tokens=5, temperature=0.0,
+    ))
+    np.testing.assert_array_equal(ref, out)
