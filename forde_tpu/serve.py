@@ -239,9 +239,17 @@ def main(argv: Optional[list] = None) -> None:
         dstate = restore_checkpoint(args.draft_checkpoint_dir, dstate)
         print(f"[serve] speculative decoding: draft restored step "
               f"{int(dstate.step)} (gamma={args.gamma})")
-        draft_model = FORDEDecoderLM(config=dcfg.replace(dropout_rate=0.0))
+        dcfg = dcfg.replace(dropout_rate=0.0)
+        dparams = dstate.params
+        if args.quantize:
+            from forde_tpu.ops.quant import quantize_params as _qp
+
+            dcfg = dcfg.replace(quantized=True)
+            dparams = _qp(dparams)
+            print("[serve] draft quantized int8 too")
+        draft_model = FORDEDecoderLM(config=dcfg)
         dvars = {
-            "params": dstate.params, "stats_buffer": dstate.stats_buffer,
+            "params": dparams, "stats_buffer": dstate.stats_buffer,
         }
         out, stats = generate_speculative(
             model, variables, draft_model, dvars, jnp.asarray(ids),
