@@ -37,7 +37,8 @@ def main():
     p.add_argument("--prompt_len", type=int, default=32)
     p.add_argument("--moe", action="store_true")
     p.add_argument("--nsa", action="store_true")
-    p.add_argument("--scan_layers", action="store_true", default=True)
+    p.add_argument("--scan_layers", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 

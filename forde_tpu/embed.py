@@ -46,32 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _load_state(checkpoint_dir: str):
-    from forde_tpu.train.checkpoint import (
-        load_model_config,
-        load_train_meta,
-        restore_checkpoint,
-    )
-    from forde_tpu.train.clip_step import create_clip_train_state
+    from forde_tpu.train.checkpoint import load_clip_state
 
-    cfg = load_model_config(checkpoint_dir)
-    assert cfg is not None, (
-        f"{checkpoint_dir} has no model_config.json (written by clip_loop)"
-    )
-    meta = load_train_meta(checkpoint_dir)
-    # tap/stat leaves are batch-independent (F, 2) buffers, so a batch-1
-    # init builds the exact saved tree structure
-    state = create_clip_train_state(
-        cfg, jax.random.PRNGKey(0), learning_rate=1e-4, weight_decay=0.0,
-        batch_size=1,
-        warmup_steps=int(meta.get("warmup_steps", 0) or 0),
-        moment_dtype=meta.get("moment_dtype"),
-    )
-    if float(meta.get("ema_decay", 0.0) or 0.0) > 0:
-        from forde_tpu.train.ema import init_ema
-
-        state = init_ema(state)
-    state = restore_checkpoint(checkpoint_dir, state)
-    return cfg, state
+    return load_clip_state(checkpoint_dir)
 
 
 def _load_images(paths: str, size: int) -> np.ndarray:

@@ -83,6 +83,9 @@ def generate(
 
 def _filter_logits(scaled, top_k, top_p):
     """Apply top-k then nucleus (top-p) filtering to (..., V) logits."""
+    assert top_p is None or 0.0 < top_p <= 1.0, (
+        f"top_p must be in (0, 1], got {top_p} (0 would mask every token)"
+    )
     if top_k is not None:
         kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)

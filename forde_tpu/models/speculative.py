@@ -233,5 +233,10 @@ def generate_speculative(
         pass
     out = ids[:, : p + max_new_tokens]
     if with_stats:
-        return out, {"rounds": rounds, "generated": n}
+        # the last round may overshoot max_new_tokens; report only the
+        # tokens that survive the slice so tokens/forward is honest
+        return out, {
+            "rounds": rounds,
+            "generated": jnp.minimum(n, max_new_tokens),
+        }
     return out

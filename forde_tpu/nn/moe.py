@@ -69,11 +69,11 @@ class ExpertsFFN(nn.Module):
         self.b_down = self.param("b_down", nn.initializers.zeros, (e, d))
 
     def _q_einsum(self, spec, x, w_q, w_scale, scale_shape):
-        """int8 einsum with dynamic per-row activation quantization."""
-        xf = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        x_scale = jnp.maximum(amax, 1e-12) / 127.0
-        xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        """int8 einsum with dynamic per-row activation quantization
+        (the shared recipe, ops/quant.quantize_activations)."""
+        from forde_tpu.ops.quant import quantize_activations
+
+        xq, x_scale = quantize_activations(x)
         acc = jnp.einsum(spec, xq, w_q, preferred_element_type=jnp.int32)
         # x_scale (rows..., 1) broadcasts against the output's trailing
         # channel dim; w_scale is reshaped to line up per output spec

@@ -56,6 +56,18 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def quantize_activations(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric per-row int8 activation quantization: (..., din)
+    float -> ((..., din) int8, (..., 1) fp32 scale). THE quantization
+    recipe — int8_dense and the MoE expert einsums (nn/moe.ExpertsFFN)
+    both use it, so a numerics change lands everywhere at once."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    return xq, x_scale
+
+
 def int8_dense(x, kernel_q, w_scale, bias=None, out_dtype=jnp.float32):
     """``x @ dequant(kernel_q)`` computed as an int8 matmul.
 
@@ -63,10 +75,7 @@ def int8_dense(x, kernel_q, w_scale, bias=None, out_dtype=jnp.float32):
     Activations are quantized symmetrically per row; the int32
     accumulator is rescaled by both scales.
     """
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    x_scale = jnp.maximum(amax, 1e-12) / 127.0
-    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    xq, x_scale = quantize_activations(x)
     acc = jax.lax.dot_general(
         xq,
         kernel_q,

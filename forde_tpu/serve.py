@@ -115,51 +115,40 @@ def main(argv: Optional[list] = None) -> None:
     from forde_tpu.train.loop import config_from_args
     from forde_tpu.train.state import create_train_state
 
-    config = None
-    moment_dtype = None
-    warmup_steps = 0
-    ema_decay = 0.0
+    config = state = None
     if args.checkpoint_dir:
-        from forde_tpu.train.checkpoint import load_model_config, load_train_meta
+        from forde_tpu.train.checkpoint import load_lm_state, load_model_config
 
-        config = load_model_config(args.checkpoint_dir)
-        if config is not None:
-            meta = load_train_meta(args.checkpoint_dir)
-            moment_dtype = meta.get("moment_dtype")
-            warmup_steps = int(meta.get("warmup_steps", 0) or 0)
-            ema_decay = float(meta.get("ema_decay", 0.0) or 0.0)
+        if load_model_config(args.checkpoint_dir) is not None:
+            # the ONE restore recipe (train/checkpoint.load_lm_state):
+            # rebuild the saved tree structure (moment dtype, warmup
+            # schedule, EMA) from the train meta, then restore into it
+            config, state = load_lm_state(
+                args.checkpoint_dir, init_seq_len=args.seq_len
+            )
             print(f"[serve] model config loaded from "
                   f"{args.checkpoint_dir}/model_config.json")
+            print(f"[serve] restored step {int(state.step)} "
+                  f"from {args.checkpoint_dir}")
     if config is None:
-        # config_from_args reads these training-only fields too:
+        # pre-config checkpoint or random-init smoke: shapes from flags
+        # (config_from_args reads these training-only fields too)
         args.remat = False
         args.scan_layers = False
-        config = config_from_args(args)
-    # dropout off at inference
-    config = config.replace(dropout_rate=0.0)
+        config = config_from_args(args).replace(dropout_rate=0.0)
+        state = create_train_state(
+            config, jax.random.PRNGKey(args.seed),
+            learning_rate=1e-4, weight_decay=0.0,
+            init_batch_shape=(1, min(args.seq_len, config.max_seq_len)),
+        )
+        if args.checkpoint_dir:
+            from forde_tpu.train.checkpoint import restore_checkpoint
 
-    rng = jax.random.PRNGKey(args.seed)
-    state = create_train_state(
-        config, rng, learning_rate=1e-4, weight_decay=0.0,
-        init_batch_shape=(1, min(args.seq_len, config.max_seq_len)),
-        # match the saved opt-state structure (bf16 moments, the
-        # warmup schedule's count leaf) so Orbax StandardRestore sees
-        # an identical tree
-        moment_dtype=moment_dtype,
-        warmup_steps=warmup_steps,
-    )
-    if ema_decay > 0:
-        from forde_tpu.train.ema import init_ema
-
-        state = init_ema(state)  # the saved tree carries ema_params
-    if args.checkpoint_dir:
-        from forde_tpu.train.checkpoint import restore_checkpoint
-
-        state = restore_checkpoint(args.checkpoint_dir, state)
-        print(f"[serve] restored step {int(state.step)} "
-              f"from {args.checkpoint_dir}")
-    else:
-        print("[serve] no --checkpoint_dir: random init (smoke mode)")
+            state = restore_checkpoint(args.checkpoint_dir, state)
+            print(f"[serve] restored step {int(state.step)} "
+                  f"from {args.checkpoint_dir}")
+        else:
+            print("[serve] no --checkpoint_dir: random init (smoke mode)")
     if args.use_ema:
         from forde_tpu.train.ema import swap_in_ema
 
@@ -190,7 +179,8 @@ def main(argv: Optional[list] = None) -> None:
         config = config.replace(quantized=True)
         state = state.replace(params=quantize_params(state.params))
         print("[serve] int8 weight-only quantization applied "
-              "(attention/FFN/lm_head kernels)")
+              "(attention/FFN/lm_head kernels + MoE expert bank; NSA "
+              "branch projections stay fp)")
     model = FORDEDecoderLM(config=config)
     variables = {"params": state.params, "stats_buffer": state.stats_buffer}
     if args.tensor_parallelism > 1:
@@ -213,33 +203,13 @@ def main(argv: Optional[list] = None) -> None:
         print(f"[serve] mesh serving: {dict(mesh.shape)}")
     if args.draft_checkpoint_dir:
         from forde_tpu.models.speculative import generate_speculative
-        from forde_tpu.train.checkpoint import (
-            load_model_config,
-            load_train_meta,
-            restore_checkpoint,
-        )
+        from forde_tpu.train.checkpoint import load_lm_state
 
-        dcfg = load_model_config(args.draft_checkpoint_dir)
-        assert dcfg is not None, (
-            "--draft_checkpoint_dir needs a checkpoint with "
-            "model_config.json (written by train.loop)"
+        dcfg, dstate = load_lm_state(
+            args.draft_checkpoint_dir, init_seq_len=args.seq_len
         )
-        dmeta = load_train_meta(args.draft_checkpoint_dir)
-        dstate = create_train_state(
-            dcfg.replace(dropout_rate=0.0), jax.random.PRNGKey(1),
-            learning_rate=1e-4, weight_decay=0.0,
-            init_batch_shape=(1, min(args.seq_len, dcfg.max_seq_len)),
-            moment_dtype=dmeta.get("moment_dtype"),
-            warmup_steps=int(dmeta.get("warmup_steps", 0) or 0),
-        )
-        if float(dmeta.get("ema_decay", 0.0) or 0.0) > 0:
-            from forde_tpu.train.ema import init_ema
-
-            dstate = init_ema(dstate)
-        dstate = restore_checkpoint(args.draft_checkpoint_dir, dstate)
         print(f"[serve] speculative decoding: draft restored step "
               f"{int(dstate.step)} (gamma={args.gamma})")
-        dcfg = dcfg.replace(dropout_rate=0.0)
         dparams = dstate.params
         if args.quantize:
             from forde_tpu.ops.quant import quantize_params as _qp

@@ -161,3 +161,59 @@ def restore_checkpoint(
         return mgr.restore(state, step)
     finally:
         mgr.close()
+
+
+def load_lm_state(checkpoint_dir: str, init_seq_len: int = 64):
+    """(config, restored TrainState) for LM inference from a train.loop
+    checkpoint dir. The ONE restore recipe (serve target, serve draft,
+    distillation teacher): rebuild a state whose tree structure matches
+    what was saved — moment dtype and warmup schedule from the train
+    meta, EMA seeded when the run kept one — then restore into it.
+    Dropout is zeroed (inference)."""
+    import jax
+
+    from forde_tpu.train.state import create_train_state
+
+    config = load_model_config(checkpoint_dir)
+    assert config is not None, (
+        f"{checkpoint_dir} has no model_config.json (written by train.loop)"
+    )
+    config = config.replace(dropout_rate=0.0)
+    meta = load_train_meta(checkpoint_dir)
+    state = create_train_state(
+        config, jax.random.PRNGKey(0), learning_rate=1e-4, weight_decay=0.0,
+        init_batch_shape=(1, min(init_seq_len, config.max_seq_len)),
+        moment_dtype=meta.get("moment_dtype"),
+        warmup_steps=int(meta.get("warmup_steps", 0) or 0),
+    )
+    if float(meta.get("ema_decay", 0.0) or 0.0) > 0:
+        from forde_tpu.train.ema import init_ema
+
+        state = init_ema(state)
+    return config, restore_checkpoint(checkpoint_dir, state)
+
+
+def load_clip_state(checkpoint_dir: str):
+    """(config, restored CLIPTrainState) — the dual-encoder twin of
+    ``load_lm_state`` (used by the embedding CLI). Tap/stat leaves are
+    batch-independent, so a batch-1 init builds the exact saved tree."""
+    import jax
+
+    from forde_tpu.train.clip_step import create_clip_train_state
+
+    config = load_model_config(checkpoint_dir)
+    assert config is not None, (
+        f"{checkpoint_dir} has no model_config.json (written by clip_loop)"
+    )
+    meta = load_train_meta(checkpoint_dir)
+    state = create_clip_train_state(
+        config, jax.random.PRNGKey(0), learning_rate=1e-4, weight_decay=0.0,
+        batch_size=1,
+        moment_dtype=meta.get("moment_dtype"),
+        warmup_steps=int(meta.get("warmup_steps", 0) or 0),
+    )
+    if float(meta.get("ema_decay", 0.0) or 0.0) > 0:
+        from forde_tpu.train.ema import init_ema
+
+        state = init_ema(state)
+    return config, restore_checkpoint(checkpoint_dir, state)

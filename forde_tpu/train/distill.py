@@ -95,32 +95,12 @@ def make_distill_step(
 
 def load_teacher(checkpoint_dir: str):
     """Teacher (model, variables) from a train.loop checkpoint carrying
-    model_config.json. Reuses serve.py's restore recipe."""
+    model_config.json (the shared restore recipe,
+    train/checkpoint.load_lm_state)."""
     from forde_tpu.models.decoder_lm import FORDEDecoderLM
-    from forde_tpu.train.checkpoint import (
-        load_model_config,
-        load_train_meta,
-        restore_checkpoint,
-    )
-    from forde_tpu.train.state import create_train_state
+    from forde_tpu.train.checkpoint import load_lm_state
 
-    cfg = load_model_config(checkpoint_dir)
-    assert cfg is not None, (
-        f"{checkpoint_dir} has no model_config.json (written by train.loop)"
-    )
-    cfg = cfg.replace(dropout_rate=0.0)
-    meta = load_train_meta(checkpoint_dir)
-    state = create_train_state(
-        cfg, jax.random.PRNGKey(0), learning_rate=1e-4, weight_decay=0.0,
-        init_batch_shape=(1, 64),
-        moment_dtype=meta.get("moment_dtype"),
-        warmup_steps=int(meta.get("warmup_steps", 0) or 0),
-    )
-    if float(meta.get("ema_decay", 0.0) or 0.0) > 0:
-        from forde_tpu.train.ema import init_ema
-
-        state = init_ema(state)
-    state = restore_checkpoint(checkpoint_dir, state)
+    cfg, state = load_lm_state(checkpoint_dir)
     model = FORDEDecoderLM(config=cfg)
     return model, {
         "params": state.params, "stats_buffer": state.stats_buffer,

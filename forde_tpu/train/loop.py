@@ -218,6 +218,10 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                              "parallelism only for now — set "
                              "--context_parallelism/--tensor_parallelism "
                              "to 1")
+        if args.distill_from:
+            raise ValueError("--distill_from does not compose with "
+                             "--pipeline_parallelism yet (the GPipe step "
+                             "has no teacher-forward slot)")
         mesh_batch = args.batch_size // mb  # data axis must divide ONE
         # microbatch (pipeline.py shards microbatch examples over data)
     else:
