@@ -261,10 +261,31 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     step = int(state.step)
     last = {}
 
+    # Graceful preemption (mirrors train/loop.py): SIGTERM/SIGINT break
+    # at the next step boundary; the normal final force-save runs.
+    import signal
+
+    stop_requested = []
+    prev_handlers = {}
+    if manager is not None:
+        def _request_stop(signum, frame):
+            if not stop_requested:
+                print(f"signal {signum}: finishing step, saving checkpoint, "
+                      "exiting")
+            stop_requested.append(signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread
+                pass
+
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     try:
         for batch in prefetch_to_device(iter(dataset), sharding=sharding):
+            if stop_requested:
+                break
             if nosense_step is not None and step % args.sense_interval:
                 state, metrics = nosense_step(state, batch)
             else:
@@ -372,6 +393,8 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     finally:
         if args.profile_dir:
             jax.profiler.stop_trace()
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
 
     if manager:
         manager.save(step, state, force=True)

@@ -363,13 +363,38 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     global_step = int(state.step)
     last_metrics = {}
 
+    # Graceful preemption: SIGTERM/SIGINT request a clean stop — the loop
+    # breaks at the next step boundary and the normal final force-save
+    # runs, so a preempted run resumes with --resume instead of losing
+    # everything since the last interval checkpoint.
+    import signal
+
+    stop_requested = []
+    prev_handlers = {}
+    if manager is not None:
+        def _request_stop(signum, frame):
+            if not stop_requested:
+                print(f"signal {signum}: finishing step, saving checkpoint, "
+                      "exiting")
+            stop_requested.append(signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread (e.g. under a test runner)
+                pass
+
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
 
     try:
         for epoch in range(args.num_epochs):
+            if stop_requested:
+                break
             batches = prefetch_to_device(iter(dataset), sharding=batch_sharding)
             for batch in batches:
+                if stop_requested:
+                    break
                 state, metrics = step_fn(state, batch)
                 global_step += 1
                 meter.step()
@@ -475,6 +500,8 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     finally:
         if args.profile_dir:
             jax.profiler.stop_trace()
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
 
     if manager is not None:
         manager.save(global_step, state, force=True)

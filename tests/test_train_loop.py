@@ -227,3 +227,72 @@ def test_grad_accum_cli_smoke():
     out = train(args)
     assert out["step"] == 2
     assert np.isfinite(out["final_metrics"]["loss/total"])
+
+
+def test_sigterm_saves_resumable_checkpoint(tmp_path):
+    """Graceful preemption: SIGTERM mid-run -> clean exit with a final
+    checkpoint; --resume continues from it."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ckpt = str(tmp_path / "ckpt")
+    code = f"""
+import os
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['FORDE_COMPILE_CACHE'] = '0'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from forde_tpu.train.loop import build_parser, train
+args = build_parser().parse_args([
+    '--use_dummy_data', '--steps_per_epoch', '100000', '--num_epochs', '1',
+    '--batch_size', '2', '--seq_len', '16', '--d_model', '32',
+    '--num_layers', '1', '--num_heads', '2', '--num_experts', '2',
+    '--window_size', '8', '--slow_loop_interval', '0', '--log_interval', '5',
+    '--plots_dir', '', '--checkpoint_dir', {ckpt!r},
+])
+print('READY', flush=True)
+train(args)
+print('CLEAN-EXIT', flush=True)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd="/root/repo",
+    )
+    # give it time to compile and take a few steps, then preempt
+    deadline = time.time() + 300
+    saw_step = False
+    for line in proc.stdout:
+        if " step " in line and "loss" in line:
+            saw_step = True
+            break
+        if time.time() > deadline:
+            break
+    assert saw_step, "training never reached a logged step"
+    proc.send_signal(signal.SIGTERM)
+    out = proc.stdout.read()
+    assert proc.wait(timeout=300) == 0, out
+    assert "CLEAN-EXIT" in out and "saving checkpoint" in out, out
+
+    from forde_tpu.train import checkpoint as ckpt_lib
+
+    mgr = ckpt_lib.CheckpointManager(ckpt)
+    latest = mgr.latest_step()
+    mgr.close()
+    assert latest is not None and latest >= 1, latest
+    # resumes cleanly
+    from forde_tpu.train.loop import build_parser, train
+
+    args = build_parser().parse_args([
+        "--use_dummy_data", "--steps_per_epoch", str(latest + 2),
+        "--num_epochs", "1",
+        "--batch_size", "2", "--seq_len", "16", "--d_model", "32",
+        "--num_layers", "1", "--num_heads", "2", "--num_experts", "2",
+        "--window_size", "8", "--slow_loop_interval", "0",
+        "--log_interval", "1", "--plots_dir", "",
+        "--checkpoint_dir", ckpt, "--resume",
+    ])
+    out2 = train(args)
+    assert out2["step"] == latest + 2
