@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ema", action="store_true",
                    help="serve the EMA weights (requires a checkpoint "
                         "trained with --ema_decay)")
+    p.add_argument("--lora_base_dir", type=str, default=None,
+                   help="LoRA checkpoints record their frozen base's "
+                        "path; override it here if the base moved "
+                        "(adapters are merged into the weights at load "
+                        "— zero serving overhead)")
     p.add_argument("--draft_checkpoint_dir", type=str, default=None,
                    help="enable speculative decoding: a (smaller) draft "
                         "model checkpoint with model_config.json; both "
@@ -124,10 +129,16 @@ def main(argv: Optional[list] = None) -> None:
             # rebuild the saved tree structure (moment dtype, warmup
             # schedule, EMA) from the train meta, then restore into it
             config, state = load_lm_state(
-                args.checkpoint_dir, init_seq_len=args.seq_len
+                args.checkpoint_dir, init_seq_len=args.seq_len,
+                lora_base_dir=args.lora_base_dir,
             )
             print(f"[serve] model config loaded from "
                   f"{args.checkpoint_dir}/model_config.json")
+            from forde_tpu.train.checkpoint import load_train_meta
+
+            if load_train_meta(args.checkpoint_dir).get("lora"):
+                print("[serve] LoRA checkpoint: adapters merged into the "
+                      "base weights at load")
             print(f"[serve] restored step {int(state.step)} "
                   f"from {args.checkpoint_dir}")
     if config is None:

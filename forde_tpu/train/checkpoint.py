@@ -163,13 +163,24 @@ def restore_checkpoint(
         mgr.close()
 
 
-def load_lm_state(checkpoint_dir: str, init_seq_len: int = 64):
+def load_lm_state(
+    checkpoint_dir: str,
+    init_seq_len: int = 64,
+    lora_base_dir: Optional[str] = None,
+):
     """(config, restored TrainState) for LM inference from a train.loop
     checkpoint dir. The ONE restore recipe (serve target, serve draft,
     distillation teacher): rebuild a state whose tree structure matches
     what was saved — moment dtype and warmup schedule from the train
     meta, EMA seeded when the run kept one — then restore into it.
-    Dropout is zeroed (inference)."""
+    Dropout is zeroed (inference).
+
+    LoRA checkpoints (train meta carries ``lora``; --lora_rank runs save
+    ADAPTERS as the params) are resolved transparently: the frozen base
+    is loaded from the recorded path (override with ``lora_base_dir`` if
+    it moved), the adapter state is restored, and the returned state's
+    params (and EMA, if kept) are the base with adapters MERGED — every
+    downstream consumer sees an ordinary dense state."""
     import jax
 
     from forde_tpu.train.state import create_train_state
@@ -180,6 +191,41 @@ def load_lm_state(checkpoint_dir: str, init_seq_len: int = 64):
     )
     config = config.replace(dropout_rate=0.0)
     meta = load_train_meta(checkpoint_dir)
+    lora_meta = meta.get("lora")
+    if lora_meta:
+        from forde_tpu.models.decoder_lm import FORDEDecoderLM
+        from forde_tpu.train import lora as lora_lib
+        from forde_tpu.train.state import TrainState, make_optimizer
+
+        base_dir = lora_base_dir or lora_meta["base"]
+        _, base_params, base_stats = load_lm_params(base_dir, init_seq_len)
+        adapters = lora_lib.init_lora(
+            base_params, int(lora_meta["rank"]), jax.random.PRNGKey(0),
+            targets=tuple(lora_meta["targets"]),
+        )
+        tx = make_optimizer(
+            1e-4, 0.0,
+            warmup_steps=int(meta.get("warmup_steps", 0) or 0),
+            moment_dtype=meta.get("moment_dtype"),
+        )
+        model = FORDEDecoderLM(config=config)
+        state = TrainState.create(
+            apply_fn=model.apply, params=adapters, tx=tx,
+            stats_buffer=base_stats,
+        )
+        if float(meta.get("ema_decay", 0.0) or 0.0) > 0:
+            from forde_tpu.train.ema import init_ema
+
+            state = init_ema(state)
+        state = restore_checkpoint(checkpoint_dir, state)
+        scale = lora_lib.lora_scale(
+            int(lora_meta["rank"]), float(lora_meta["alpha"])
+        )
+        merged = lora_lib.merge_lora(base_params, state.params, scale)
+        ema = state.ema_params
+        if ema is not None:
+            ema = lora_lib.merge_lora(base_params, ema, scale)
+        return config, state.replace(params=merged, ema_params=ema)
     state = create_train_state(
         config, jax.random.PRNGKey(0), learning_rate=1e-4, weight_decay=0.0,
         init_batch_shape=(1, min(init_seq_len, config.max_seq_len)),
@@ -191,6 +237,14 @@ def load_lm_state(checkpoint_dir: str, init_seq_len: int = 64):
 
         state = init_ema(state)
     return config, restore_checkpoint(checkpoint_dir, state)
+
+
+def load_lm_params(checkpoint_dir: str, init_seq_len: int = 64):
+    """(config, params, stats_buffer) from a train.loop checkpoint —
+    the warm-start/--init_from loader (optimizer state is rebuilt fresh
+    by the caller). LoRA checkpoints arrive merged (load_lm_state)."""
+    config, state = load_lm_state(checkpoint_dir, init_seq_len)
+    return config, state.params, state.stats_buffer
 
 
 def load_clip_state(checkpoint_dir: str):

@@ -109,6 +109,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distill_alpha", type=float, default=0.5,
                    help="weight of the hard-label CE term (1-alpha on KL)")
     p.add_argument("--distill_temperature", type=float, default=2.0)
+    p.add_argument("--init_from", type=str, default=None,
+                   help="warm-start params from a checkpoint dir (with "
+                        "model_config.json). The ARCHITECTURE comes from "
+                        "that config (CLI shape flags are ignored; only "
+                        "--remat is taken from the CLI). Fresh optimizer, "
+                        "step 0 — plain fine-tuning unless --lora_rank "
+                        "makes it parameter-efficient")
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="> 0 freezes the base (--init_from required) and "
+                        "trains rank-r LoRA adapters over --lora_targets "
+                        "only; checkpoints save the adapters + a base "
+                        "pointer and serving merges them into the weights "
+                        "(train/lora.py)")
+    p.add_argument("--lora_alpha", type=float, default=16.0,
+                   help="LoRA scale = alpha / rank")
+    p.add_argument("--lora_targets", type=str, default=None,
+                   help="comma-separated module/param names to adapt "
+                        "(default: attention projections qkv_proj,"
+                        "out_proj,q_proj,k_proj,v_proj; add w_up,w_down "
+                        "for the MoE expert banks)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over layers (fast compiles; see PERF.md)")
@@ -175,6 +195,47 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         args = build_parser().parse_args([])
     config = config_from_args(args)
     brain = BrainConfig()
+
+    if args.init_from:
+        base_config = ckpt_lib.load_model_config(args.init_from)
+        if base_config is None:
+            raise ValueError(
+                f"--init_from {args.init_from} has no model_config.json"
+            )
+        # the checkpointed tree layout (incl. scan_layers) is the
+        # architecture; remat is the one compile-side knob kept from CLI
+        config = base_config.replace(dropout_rate=0.0, remat=args.remat)
+        print(f"config loaded from {args.init_from}/model_config.json "
+              f"(CLI shape flags ignored; scan_layers={config.scan_layers})")
+        if args.seq_len > config.max_seq_len:
+            raise ValueError(
+                f"--seq_len {args.seq_len} exceeds the base model's "
+                f"max_seq_len {config.max_seq_len}"
+            )
+    if args.lora_rank:
+        if not args.init_from:
+            raise ValueError("--lora_rank requires --init_from (LoRA "
+                             "fine-tunes a frozen base checkpoint)")
+        incompatible = [
+            (args.distill_from, "--distill_from"),
+            (args.grad_accum > 1, "--grad_accum"),
+            (args.pipeline_parallelism > 1, "--pipeline_parallelism"),
+            (args.moe_dispatch == "ep", "--moe_dispatch ep"),
+            (args.context_parallelism > 1, "--context_parallelism"),
+            (args.tensor_parallelism > 1, "--tensor_parallelism"),
+            (args.param_sharding != "replicated", "--param_sharding fsdp"),
+        ]
+        for cond, name in incompatible:
+            if cond:
+                raise ValueError(f"--lora_rank does not compose with {name} "
+                                 "yet (data parallelism composes)")
+        if args.slow_loop_interval > 0 and config.use_moe:
+            raise ValueError(
+                "--lora_rank needs --slow_loop_interval 0: the brain "
+                "update actuates router biases in the FROZEN base, which "
+                "would drift it away from the checkpoint the serving "
+                "merge reloads"
+            )
 
     if args.context_parallelism > 1 and not args.no_nsa:
         # NSA under CP needs the window to fit within one shard boundary
@@ -264,6 +325,30 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         warmup_steps=args.warmup_steps,
         moment_dtype=args.moment_dtype,
     )
+    base_params = None
+    if args.init_from:
+        _, base_params, _ = ckpt_lib.load_lm_params(
+            args.init_from, init_seq_len=min(64, args.seq_len)
+        )
+        if args.lora_rank:
+            from forde_tpu.train import lora as lora_lib
+
+            rng, lora_rng = jax.random.split(rng)
+            state = lora_lib.create_lora_train_state(
+                state, base_params, args.lora_rank, lora_rng, state.tx,
+                targets=lora_lib.parse_targets(args.lora_targets),
+            )
+            n_adapt = lora_lib.adapter_param_count(state.params)
+            n_base = sum(
+                x.size for x in jax.tree_util.tree_leaves(base_params)
+            )
+            print(f"LoRA rank {args.lora_rank}: {n_adapt:,} trainable "
+                  f"adapter params over a frozen {n_base:,}-param base "
+                  f"({100 * n_adapt / n_base:.2f}%)")
+        else:
+            state = state.replace(params=base_params)
+            print(f"warm-started params from {args.init_from} "
+                  "(fresh optimizer, step 0)")
     if args.ema_decay > 0:
         from forde_tpu.train.ema import init_ema
 
@@ -271,21 +356,39 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         # structure (checkpoints and shardings must see it)
         state = init_ema(state)
     state = shard_train_state(state, mesh, param_sharding=args.param_sharding)
+    if args.lora_rank and base_params is not None:
+        # the frozen base rides along as a jit argument — replicate it
+        # onto the mesh once so DP steps never re-transfer it
+        base_params = jax.device_put(base_params, mesh_lib.replicated(mesh))
 
     manager = None
     if args.checkpoint_dir:
+        # everything that shapes the SAVED STATE's tree structure
+        # (serve.py must rebuild an identical one to restore):
+        # bf16 moments change leaf dtypes, warmup swaps the LR
+        # scale for a stateful schedule (ScaleByScheduleState).
+        train_meta = {
+            "moment_dtype": args.moment_dtype,
+            "warmup_steps": args.warmup_steps,
+            "ema_decay": args.ema_decay,
+        }
+        if args.lora_rank:
+            import os
+
+            from forde_tpu.train.lora import parse_targets
+
+            # the saved params ARE the adapters; serving rebuilds the
+            # adapter tree from this meta, restores, and merges into the
+            # base recorded here (checkpoint.load_lm_state)
+            train_meta["lora"] = {
+                "rank": args.lora_rank,
+                "alpha": args.lora_alpha,
+                "targets": list(parse_targets(args.lora_targets)),
+                "base": os.path.abspath(args.init_from),
+            }
         manager = ckpt_lib.CheckpointManager(args.checkpoint_dir, keep=2)
         ckpt_lib.save_model_config(
-            args.checkpoint_dir, config,
-            train_meta={
-                # everything that shapes the SAVED STATE's tree structure
-                # (serve.py must rebuild an identical one to restore):
-                # bf16 moments change leaf dtypes, warmup swaps the LR
-                # scale for a stateful schedule (ScaleByScheduleState).
-                "moment_dtype": args.moment_dtype,
-                "warmup_steps": args.warmup_steps,
-                "ema_decay": args.ema_decay,
-            },
+            args.checkpoint_dir, config, train_meta=train_meta,
         )
         if args.resume and manager.latest_step() is not None:
             state = manager.restore(state)
@@ -325,6 +428,17 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             aux_loss_weight=args.aux_loss_weight,
         )
         step_fn = pp_step
+    elif args.lora_rank:
+        from forde_tpu.train.lora import lora_scale, make_lora_train_step
+
+        lora_step = make_lora_train_step(
+            lora_scale(args.lora_rank, args.lora_alpha),
+            aux_loss_weight=args.aux_loss_weight,
+        )
+        frozen_base = base_params
+
+        def step_fn(state, batch):
+            return lora_step(state, frozen_base, batch)
     elif args.distill_from:
         if args.grad_accum > 1:
             raise ValueError("--distill_from does not compose with "
