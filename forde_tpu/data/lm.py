@@ -155,6 +155,93 @@ def create_markov_dataset(
     )
 
 
+class TextFileDataset:
+    """Train/eval on a LOCAL corpus — the offline data path the reference
+    lacks (its only real data is hub-streamed fineweb, dataset.py:128-133,
+    which needs egress). Accepts:
+
+      * ``.npy`` — a 1-D array of token ids (any tokenizer, any vocab);
+      * anything else — raw text read as bytes, byte-level ids 0..255
+        (no tokenizer, no egress), unless ``tokenizer="gpt2"`` and the
+        tokenizer cache is available.
+
+    The token stream is packed into contiguous non-overlapping
+    ``seq_len`` windows (remainder dropped), the window order is
+    reshuffled each epoch (seeded), and epochs repeat until
+    ``num_batches`` batches have been produced.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        batch_size: int,
+        seq_len: int,
+        num_batches: int = 1000,
+        tokenizer: str = "byte",
+        seed: int = 42,
+    ):
+        self.batch_size = batch_size
+        self.seq_len = seq_len
+        self.num_batches = num_batches
+        self.seed = seed
+        if path.endswith(".npy"):
+            ids = np.load(path).astype(np.int32).reshape(-1)
+            self.vocab_hint = int(ids.max()) + 1
+        elif tokenizer == "gpt2":
+            from transformers import AutoTokenizer  # may raise: no cache
+
+            tok = AutoTokenizer.from_pretrained("gpt2")
+            with open(path, "r", errors="replace") as f:
+                ids = np.asarray(tok.encode(f.read()), np.int32)
+            self.vocab_hint = int(tok.vocab_size)
+        else:
+            with open(path, "rb") as f:
+                ids = np.frombuffer(f.read(), np.uint8).astype(np.int32)
+            self.vocab_hint = 256
+        n_windows = len(ids) // seq_len
+        if n_windows < 1:
+            raise ValueError(
+                f"{path}: {len(ids)} tokens < one seq_len={seq_len} window"
+            )
+        self.windows = ids[: n_windows * seq_len].reshape(n_windows, seq_len)
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed)
+        produced = 0
+        while produced < self.num_batches:
+            order = rng.permutation(len(self.windows))
+            for start in range(0, len(order) - self.batch_size + 1,
+                               self.batch_size):
+                if produced >= self.num_batches:
+                    return
+                rows = order[start : start + self.batch_size]
+                yield {"input_ids": self.windows[rows]}
+                produced += 1
+            if len(self.windows) < self.batch_size:
+                # tiny corpus: sample rows with replacement instead of
+                # silently yielding nothing
+                rows = rng.randint(0, len(self.windows), self.batch_size)
+                yield {"input_ids": self.windows[rows]}
+                produced += 1
+
+
+def create_text_file_dataset(
+    path: str,
+    batch_size: int,
+    seq_len: int,
+    num_batches: int = 1000,
+    tokenizer: str = "byte",
+    seed: int = 42,
+) -> TextFileDataset:
+    return TextFileDataset(
+        path, batch_size, seq_len,
+        num_batches=num_batches, tokenizer=tokenizer, seed=seed,
+    )
+
+
 class StreamingLMDataset:
     """Buffer a tokenized iterable into numpy-stacked batches
     (reference dataset.py:200-222)."""

@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_nsa", action="store_true")
     p.add_argument("--no_mhc", action="store_true")
     p.add_argument("--use_dummy_data", action="store_true")
+    p.add_argument("--data_file", type=str, default=None,
+                   help="train on a LOCAL corpus: .npy token ids or raw "
+                        "text (byte-level ids 0..255 — no tokenizer/"
+                        "egress needed; --tokenizer gpt2 to tokenize "
+                        "instead); packed seq_len windows, reshuffled "
+                        "per epoch (data/lm.py TextFileDataset)")
+    p.add_argument("--tokenizer", choices=["byte", "gpt2"], default="byte",
+                   help="tokenization for a text --data_file")
     p.add_argument("--use_markov_data", action="store_true",
                    help="structured synthetic data with a known entropy "
                         "floor (learnable offline; see data/lm.py)")
@@ -397,7 +405,23 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     run_name = f"{args.experiment_name}_{datetime.now():%Y%m%d_%H%M%S}"
     writer = MetricsWriter(f"runs/{run_name}")
 
-    if args.use_markov_data:
+    if args.data_file:
+        from forde_tpu.data.lm import create_text_file_dataset
+
+        dataset = create_text_file_dataset(
+            args.data_file, args.batch_size, args.seq_len,
+            num_batches=args.steps_per_epoch * args.num_epochs,
+            tokenizer=args.tokenizer, seed=args.seed,
+        )
+        if dataset.vocab_hint > config.vocab_size:
+            raise ValueError(
+                f"{args.data_file} has ids up to {dataset.vocab_hint - 1} "
+                f">= model vocab {config.vocab_size}"
+            )
+        print(f"local corpus {args.data_file}: {len(dataset.windows):,} "
+              f"windows of {args.seq_len} tokens "
+              f"({args.tokenizer} tokenization)")
+    elif args.use_markov_data:
         dataset = create_markov_dataset(
             args.batch_size, args.seq_len, config.vocab_size,
             num_batches=args.steps_per_epoch * args.num_epochs,
