@@ -54,6 +54,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="text prompt (needs the gpt2 tokenizer cache)")
     p.add_argument("--prompt_ids", type=str, default=None,
                    help="comma-separated token ids; bypasses the tokenizer")
+    p.add_argument("--prompts_file", type=str, default=None,
+                   help="batch serving: one prompt per line (comma-"
+                        "separated token ids, or text with --text_prompts)."
+                        " Prompts are grouped by length into exact batches "
+                        "— one cached-decode pass per distinct length, no "
+                        "padding fed to the model — and results print in "
+                        "input order")
+    p.add_argument("--text_prompts", action="store_true",
+                   help="treat --prompts_file lines as text (gpt2 "
+                        "tokenizer required)")
+    p.add_argument("--output_file", type=str, default=None,
+                   help="write batch results as JSONL lines "
+                        '{"index", "prompt_ids", "output_ids"}')
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=1.0,
                    help="0 = greedy")
@@ -167,7 +180,10 @@ def main(argv: Optional[list] = None) -> None:
         print("[serve] serving EMA weights")
 
     tok = None
-    if args.prompt_ids:
+    ids = None
+    if args.prompts_file:
+        pass  # batch mode: prompts are read after the model is built
+    elif args.prompt_ids:
         ids = np.array(
             [[int(t) for t in args.prompt_ids.split(",")]], np.int32
         )
@@ -179,10 +195,11 @@ def main(argv: Optional[list] = None) -> None:
     else:
         ids = np.array([[0]], np.int32)
         print("[serve] no prompt given; starting from token 0")
-    assert ids.shape[1] + args.max_new_tokens <= config.max_seq_len, (
-        "prompt + max_new_tokens exceeds max_seq_len "
-        f"({ids.shape[1]} + {args.max_new_tokens} > {config.max_seq_len})"
-    )
+    if ids is not None:
+        assert ids.shape[1] + args.max_new_tokens <= config.max_seq_len, (
+            "prompt + max_new_tokens exceeds max_seq_len "
+            f"({ids.shape[1]} + {args.max_new_tokens} > {config.max_seq_len})"
+        )
 
     if args.quantize:
         from forde_tpu.ops.quant import quantize_params
@@ -212,6 +229,61 @@ def main(argv: Optional[list] = None) -> None:
             variables,
         )
         print(f"[serve] mesh serving: {dict(mesh.shape)}")
+    if args.prompts_file:
+        # Throughput serving: group prompts by length into exact batches
+        # (cached decode requires equal lengths; grouping avoids feeding
+        # pad tokens the model would attend to). One compile per distinct
+        # (length, batch) shape — the XLA cache amortizes repeats.
+        if args.beam_size > 1 or args.draft_checkpoint_dir:
+            sys.exit("--prompts_file composes with greedy/sampled cached "
+                     "decode only (not --beam_size/--draft_checkpoint_dir)")
+        import json
+        from collections import defaultdict
+
+        with open(args.prompts_file) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        if args.text_prompts:
+            tok = _tokenizer()
+            if tok is None:
+                sys.exit(2)
+            prompts = [tok.encode(ln) for ln in lines]
+        else:
+            prompts = [[int(t) for t in ln.split(",")] for ln in lines]
+        for i, pr in enumerate(prompts):
+            assert len(pr) + args.max_new_tokens <= config.max_seq_len, (
+                f"prompt {i}: {len(pr)} + {args.max_new_tokens} tokens "
+                f"exceeds max_seq_len {config.max_seq_len}"
+            )
+        groups = defaultdict(list)
+        for i, pr in enumerate(prompts):
+            groups[len(pr)].append(i)
+        results = [None] * len(prompts)
+        key = jax.random.PRNGKey(args.seed)
+        for plen, idxs in sorted(groups.items()):
+            batch = jnp.asarray([prompts[i] for i in idxs], jnp.int32)
+            out = generate_cached(
+                model, variables, batch, jax.random.fold_in(key, plen),
+                max_new_tokens=args.max_new_tokens,
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
+            )
+            for row, i in zip(np.asarray(out), idxs):
+                results[i] = row.tolist()
+        for i, row in enumerate(results):
+            print(f"[{i}] token ids: {row}")
+        if args.output_file:
+            with open(args.output_file, "w") as f:
+                for i, row in enumerate(results):
+                    f.write(json.dumps({
+                        "index": i,
+                        "prompt_ids": prompts[i],
+                        "output_ids": row,
+                    }) + "\n")
+            print(f"[serve] wrote {len(results)} results to "
+                  f"{args.output_file}")
+        print(f"[serve] batch: {len(prompts)} prompts in {len(groups)} "
+              "length group(s)")
+        return
     if args.draft_checkpoint_dir:
         from forde_tpu.models.speculative import generate_speculative
         from forde_tpu.train.checkpoint import load_lm_state

@@ -157,3 +157,46 @@ def test_serve_speculative_decoding(tmp_path, capsys):
     assert "int8 weight-only quantization applied" in out
     qids = eval(out.split("token ids:")[1].splitlines()[0])
     assert qids[:3] == [5, 17, 20] and len(qids) == 7
+
+
+def test_serve_prompts_file_batch(tmp_path, capsys):
+    """Batch serving: prompts grouped by length, decoded in batches,
+    results in input order; each row must equal the single-prompt greedy
+    output for the same prompt."""
+    import json
+
+    from forde_tpu import serve
+
+    shape = [
+        "--d_model", "32", "--num_layers", "1", "--num_heads", "2",
+        "--num_experts", "2", "--window_size", "8", "--seq_len", "32",
+    ]
+    prompts = ["5,17,20", "9,9", "7,3,11", "2,40"]
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("\n".join(prompts) + "\n")
+    out_file = tmp_path / "out.jsonl"
+
+    serve.main([
+        "--prompts_file", str(pf), "--output_file", str(out_file),
+        "--max_new_tokens", "3", "--temperature", "0", *shape,
+    ])
+    out = capsys.readouterr().out
+    assert "4 prompts in 2 length group(s)" in out
+
+    rows = [json.loads(ln) for ln in out_file.read_text().splitlines()]
+    assert [r["index"] for r in rows] == [0, 1, 2, 3]
+    for r, p in zip(rows, prompts):
+        want = [int(t) for t in p.split(",")]
+        assert r["prompt_ids"] == want
+        assert r["output_ids"][: len(want)] == want
+        assert len(r["output_ids"]) == len(want) + 3
+
+    # batched rows match single-prompt greedy decoding exactly
+    serve.main([
+        "--prompt_ids", prompts[2], "--max_new_tokens", "3",
+        "--temperature", "0", *shape,
+    ])
+    single = eval(
+        capsys.readouterr().out.split("token ids:")[1].splitlines()[0]
+    )
+    assert rows[2]["output_ids"] == single
