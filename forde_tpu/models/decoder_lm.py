@@ -50,9 +50,16 @@ class DecoderBlock(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         decode: bool = False,
+        positions: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
         cfg = self.config
         dtype = cfg.dtypes.compute
+        if positions is not None and cfg.use_sparse_attention:
+            raise ValueError(
+                "per-row decode positions (ragged batching) are supported "
+                "for dense-causal configs only — NSA streaming caches are "
+                "phase-locked to a shared position counter"
+            )
 
         if cfg.use_hyper_connections:
             if streams is None:
@@ -93,7 +100,7 @@ class DecoderBlock(nn.Module):
                 mesh=self.mesh,
                 quantized=cfg.quantized,
                 name="causal_attention",
-            )(attn_input, mask, decode=decode)
+            )(attn_input, mask, decode=decode, positions=positions)
 
         if not deterministic:
             attn_output = nn.Dropout(rate=cfg.dropout_rate)(
@@ -174,11 +181,13 @@ class _ScanBlockBody(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        x, streams = carry
+        # positions (per-row ragged decode) rides the carry unchanged so
+        # every scanned layer sees the same (B,) vector (None otherwise).
+        x, streams, positions = carry
         x, streams, aux = DecoderBlock(
             config=self.config, mesh=self.mesh, name="block"
-        )(x, streams, None, self.deterministic, self.decode)
-        return (x, streams), aux
+        )(x, streams, None, self.deterministic, self.decode, positions)
+        return (x, streams, positions), aux
 
 
 class FORDEDecoderLM(nn.Module):
@@ -197,7 +206,12 @@ class FORDEDecoderLM(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         decode: bool = False,
+        positions: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``positions`` (B,), decode-only: per-row position of the single
+        token being fed — the ragged-batch serving path (mixed-length
+        right-padded prompts share one compiled program; dense-causal
+        configs only, see models/generate.generate_ragged)."""
         cfg = self.config
         dtype = cfg.dtypes.compute
         b, s = input_ids.shape
@@ -216,7 +230,10 @@ class FORDEDecoderLM(nn.Module):
             offset = pos_index.value
             if not self.is_initializing():
                 pos_index.value = offset + s
-            position_ids = (offset + jnp.arange(s))[None, :]
+            if positions is not None:
+                position_ids = positions[:, None] + jnp.arange(s)[None, :]
+            else:
+                position_ids = (offset + jnp.arange(s))[None, :]
         else:
             position_ids = jnp.arange(s)[None, :]
         position_embedding = nn.Embed(
@@ -265,10 +282,10 @@ class FORDEDecoderLM(nn.Module):
                 split_rngs={"params": True},
                 length=cfg.num_layers,
             )
-            (x, streams), aux_stack = scan_cls(
+            (x, streams, _), aux_stack = scan_cls(
                 config=cfg, deterministic=deterministic, mesh=self.mesh,
                 decode=decode, name="layers",
-            )((x, streams), None)
+            )((x, streams, positions), None)
             total_aux_loss = total_aux_loss + jnp.sum(aux_stack)
         else:
             block_cls = DecoderBlock
@@ -277,7 +294,7 @@ class FORDEDecoderLM(nn.Module):
             for layer_idx in range(cfg.num_layers):
                 x, streams, moe_aux_loss = block_cls(
                     config=cfg, mesh=self.mesh, name=f"layer_{layer_idx}"
-                )(x, streams, mask, deterministic, decode)
+                )(x, streams, mask, deterministic, decode, positions)
                 total_aux_loss = total_aux_loss + moe_aux_loss
 
         # Deliberate deviation from the reference: model.py:276-285 applies

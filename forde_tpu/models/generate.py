@@ -415,6 +415,122 @@ def nsa_prefill(model, variables, prompt_ids):
     return cache, logits[:, -1, :]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "max_new_tokens", "temperature", "top_k", "top_p", "eos_id",
+        "pad_id",
+    ),
+)
+def generate_ragged(
+    model: FORDEDecoderLM,
+    variables,
+    prompt_ids: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    key: jax.Array,
+    max_new_tokens: int = 32,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
+) -> jnp.ndarray:
+    """Ragged-batch KV-cache sampling: mixed-length prompts, ONE program.
+
+    ``prompt_ids`` is (B, P_max) RIGHT-padded; ``prompt_lens`` (B,) gives
+    each row's true length (>= 1). Every row decodes at its own position:
+    the prefill runs once over the padded buffer (pad rows' K/V land in
+    the cache but per-row causal masks keep them forever invisible — each
+    row's generated token t overwrites cache position ``len + t`` before
+    any query can see it), per-row last-token logits seed the sampling,
+    and each decode step scatters K/V at per-row positions
+    (nn/attention.CausalSelfAttention ``positions``) with per-row learned
+    position embeddings.
+
+    Compared with grouping prompts by length (one compiled program PER
+    distinct length — minutes each through the remote TPU compiler), any
+    mix of lengths at a fixed (B, P_max) bucket shares one executable.
+
+    Dense-causal configs only: NSA's streaming caches (ring slots, chunk
+    sums, running top-k) are phase-locked to a shared position counter.
+    Row i's result is ``out[i, :prompt_lens[i] + max_new_tokens]``
+    (prompt then continuation; positions past EOS are ``pad_id``).
+    Returns (B, P_max + max_new_tokens); the slack region between a
+    row's end and the buffer end is ``pad_id``.
+    """
+    if model.config.use_sparse_attention:
+        raise ValueError(
+            "generate_ragged supports dense-causal configs only (NSA "
+            "decode caches are position-phase-locked); group NSA prompts "
+            "by length instead"
+        )
+    b, p = prompt_ids.shape
+    bidx = jnp.arange(b)
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+
+    cache = model.init(
+        jax.random.PRNGKey(0), prompt_ids, None, True, True
+    )["cache"]
+    # Prefill over the whole padded buffer (pads included; see above).
+    (logits, _), updated = model.apply(
+        {**model_vars, "cache": cache},
+        prompt_ids,
+        None,
+        True,
+        True,
+        mutable=["cache", "stats_buffer"],
+    )
+    cache = updated["cache"]
+    last = jnp.take_along_axis(
+        logits, (prompt_lens - 1)[:, None, None], axis=1
+    )[:, 0, :].astype(jnp.float32)  # (B, V) logits at each row's last token
+    key, sample_key = jax.random.split(key)
+    next_token = _sample(last, sample_key, temperature, top_k, top_p)
+    done = jnp.zeros((b,), bool)
+    if eos_id is not None:
+        done = next_token == eos_id
+
+    total = p + max_new_tokens
+    ids = jnp.zeros((b, total), jnp.int32).at[:, :p].set(prompt_ids)
+    # pad the slack between each row's prompt end and the buffer end
+    ids = jnp.where(jnp.arange(total)[None, :] < prompt_lens[:, None], ids,
+                    pad_id)
+    ids = ids.at[bidx, prompt_lens].set(next_token)
+
+    def step(carry, t):
+        ids, cache, token, key, done = carry
+        positions = prompt_lens + t  # where the fed token sits, per row
+        (logits, _), updated = model.apply(
+            {**model_vars, "cache": cache},
+            token[:, None],
+            None,
+            True,
+            True,
+            positions,
+            mutable=["cache", "stats_buffer"],
+        )
+        key, sample_key = jax.random.split(key)
+        nxt = _sample(
+            logits[:, 0, :].astype(jnp.float32), sample_key, temperature,
+            top_k, top_p,
+        )
+        nxt = jnp.where(done, pad_id, nxt)
+        if eos_id is not None:
+            done = done | (nxt == eos_id)
+        ids = ids.at[bidx, positions + 1].set(nxt)
+        return (ids, updated["cache"], nxt, key, done), None
+
+    (ids, _, _, _, _), _ = jax.lax.scan(
+        step,
+        (ids, cache, next_token, key, done),
+        jnp.arange(max_new_tokens - 1),
+    )
+    return ids
+
+
 def _map_cache_batch(cache, fn):
     """Apply ``fn(leaf, batch_axis)`` to every batched cache leaf.
 

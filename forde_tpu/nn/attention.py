@@ -208,7 +208,11 @@ class CausalSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, mask: Optional[jnp.ndarray] = None, decode: bool = False
+        self,
+        x,
+        mask: Optional[jnp.ndarray] = None,
+        decode: bool = False,
+        positions: Optional[jnp.ndarray] = None,
     ):
         if self.quantized:
             from forde_tpu.ops.quant import QDense as DenseCls
@@ -234,7 +238,32 @@ class CausalSelfAttention(nn.Module):
             cache_index = self.variable(
                 "cache", "cache_index", lambda: jnp.array(0, jnp.int32)
             )
-            if not self.is_initializing():
+            if self.is_initializing():
+                out = jnp.zeros_like(q)
+            elif positions is not None:
+                # Ragged batch decode: one token per row, each sitting at
+                # its OWN position (right-padded prompts of mixed lengths
+                # share one compiled program; models/generate.
+                # generate_ragged). Scatter the K/V row per batch element
+                # and mask per-row causally — cache rows past a row's
+                # position hold prefill pad garbage and are never visible.
+                assert s == 1, (
+                    f"per-row positions require one token per call, got s={s}"
+                )
+                bidx = jnp.arange(b)
+                keys = cached_key.value.at[bidx, :, positions].set(k[:, :, 0])
+                values = cached_value.value.at[bidx, :, positions].set(
+                    v[:, :, 0]
+                )
+                cached_key.value = keys
+                cached_value.value = values
+                cache_index.value = cache_index.value + 1  # unused here
+                k_pos = jnp.arange(self.max_decode_len)
+                attn_mask = (k_pos[None, :] <= positions[:, None])[
+                    :, None, None, :
+                ]  # (B, 1, 1, M)
+                out = attention_ref.mha_reference(q, keys, values, mask=attn_mask)
+            else:
                 idx = cache_index.value
                 keys = jax.lax.dynamic_update_slice(
                     cached_key.value, k, (0, 0, idx, 0)
@@ -251,8 +280,6 @@ class CausalSelfAttention(nn.Module):
                 k_pos = jnp.arange(self.max_decode_len)[None, :]
                 attn_mask = (k_pos <= q_pos)[None, None]
                 out = attention_ref.mha_reference(q, keys, values, mask=attn_mask)
-            else:
-                out = jnp.zeros_like(q)
         elif (
             self.mesh is not None
             and self.mesh.shape.get(AXIS_CONTEXT, 1) > 1

@@ -57,10 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompts_file", type=str, default=None,
                    help="batch serving: one prompt per line (comma-"
                         "separated token ids, or text with --text_prompts)."
-                        " Prompts are grouped by length into exact batches "
-                        "— one cached-decode pass per distinct length, no "
-                        "padding fed to the model — and results print in "
-                        "input order")
+                        " Dense configs decode the whole mixed-length "
+                        "batch in ONE compiled program (ragged decode, "
+                        "per-row cache positions); NSA configs group "
+                        "prompts by length into exact batches. Results "
+                        "print in input order")
     p.add_argument("--text_prompts", action="store_true",
                    help="treat --prompts_file lines as text (gpt2 "
                         "tokenizer required)")
@@ -125,11 +126,13 @@ def _tokenizer():
         return None
 
 
-def main(argv: Optional[list] = None) -> None:
-    args = build_parser().parse_args(argv)
+def load_serving_model(args):
+    """Args -> (config, model, variables): checkpoint (or random-init)
+    restore, EMA swap, int8 quantization, and tensor-parallel sharding —
+    the model-loading recipe shared by this CLI and the HTTP serving
+    daemon (forde_tpu.serve_http)."""
     # reuse the training CLI's config derivation so shapes always line up
     from forde_tpu.models.decoder_lm import FORDEDecoderLM
-    from forde_tpu.models.generate import generate_cached
     from forde_tpu.train.loop import config_from_args
     from forde_tpu.train.state import create_train_state
 
@@ -179,28 +182,6 @@ def main(argv: Optional[list] = None) -> None:
         state = swap_in_ema(state)
         print("[serve] serving EMA weights")
 
-    tok = None
-    ids = None
-    if args.prompts_file:
-        pass  # batch mode: prompts are read after the model is built
-    elif args.prompt_ids:
-        ids = np.array(
-            [[int(t) for t in args.prompt_ids.split(",")]], np.int32
-        )
-    elif args.prompt is not None:
-        tok = _tokenizer()
-        if tok is None:
-            sys.exit(2)
-        ids = np.array([tok.encode(args.prompt)], np.int32)
-    else:
-        ids = np.array([[0]], np.int32)
-        print("[serve] no prompt given; starting from token 0")
-    if ids is not None:
-        assert ids.shape[1] + args.max_new_tokens <= config.max_seq_len, (
-            "prompt + max_new_tokens exceeds max_seq_len "
-            f"({ids.shape[1]} + {args.max_new_tokens} > {config.max_seq_len})"
-        )
-
     if args.quantize:
         from forde_tpu.ops.quant import quantize_params
 
@@ -229,11 +210,44 @@ def main(argv: Optional[list] = None) -> None:
             variables,
         )
         print(f"[serve] mesh serving: {dict(mesh.shape)}")
+    return config, model, variables
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_parser().parse_args(argv)
+    from forde_tpu.models.generate import generate_cached
+
+    config, model, variables = load_serving_model(args)
+
+    tok = None
+    ids = None
     if args.prompts_file:
-        # Throughput serving: group prompts by length into exact batches
-        # (cached decode requires equal lengths; grouping avoids feeding
-        # pad tokens the model would attend to). One compile per distinct
-        # (length, batch) shape — the XLA cache amortizes repeats.
+        pass  # batch mode: prompts are read below
+    elif args.prompt_ids:
+        ids = np.array(
+            [[int(t) for t in args.prompt_ids.split(",")]], np.int32
+        )
+    elif args.prompt is not None:
+        tok = _tokenizer()
+        if tok is None:
+            sys.exit(2)
+        ids = np.array([tok.encode(args.prompt)], np.int32)
+    else:
+        ids = np.array([[0]], np.int32)
+        print("[serve] no prompt given; starting from token 0")
+    if ids is not None:
+        assert ids.shape[1] + args.max_new_tokens <= config.max_seq_len, (
+            "prompt + max_new_tokens exceeds max_seq_len "
+            f"({ids.shape[1]} + {args.max_new_tokens} > {config.max_seq_len})"
+        )
+
+    if args.prompts_file:
+        # Throughput serving. Dense-causal configs decode the whole mixed-
+        # length batch RAGGED in one program (right-padded prompts,
+        # per-row cache positions — models/generate.generate_ragged); NSA
+        # configs (streaming caches phase-locked to a shared position)
+        # fall back to grouping prompts by length into exact batches, one
+        # compiled program per distinct length.
         if args.beam_size > 1 or args.draft_checkpoint_dir:
             sys.exit("--prompts_file composes with greedy/sampled cached "
                      "decode only (not --beam_size/--draft_checkpoint_dir)")
@@ -254,21 +268,40 @@ def main(argv: Optional[list] = None) -> None:
                 f"prompt {i}: {len(pr)} + {args.max_new_tokens} tokens "
                 f"exceeds max_seq_len {config.max_seq_len}"
             )
-        groups = defaultdict(list)
-        for i, pr in enumerate(prompts):
-            groups[len(pr)].append(i)
         results = [None] * len(prompts)
         key = jax.random.PRNGKey(args.seed)
-        for plen, idxs in sorted(groups.items()):
-            batch = jnp.asarray([prompts[i] for i in idxs], jnp.int32)
-            out = generate_cached(
-                model, variables, batch, jax.random.fold_in(key, plen),
-                max_new_tokens=args.max_new_tokens,
+        if not config.use_sparse_attention:
+            from forde_tpu.models.generate import generate_ragged
+
+            lens = np.array([len(pr) for pr in prompts], np.int32)
+            pmax = int(lens.max())
+            padded = np.full((len(prompts), pmax), args.pad_id, np.int32)
+            for i, pr in enumerate(prompts):
+                padded[i, : len(pr)] = pr
+            out = np.asarray(generate_ragged(
+                model, variables, jnp.asarray(padded), jnp.asarray(lens),
+                key, max_new_tokens=args.max_new_tokens,
                 temperature=args.temperature, top_k=args.top_k,
                 top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
-            )
-            for row, i in zip(np.asarray(out), idxs):
-                results[i] = row.tolist()
+            ))
+            for i, ln in enumerate(lens):
+                results[i] = out[i, : int(ln) + args.max_new_tokens].tolist()
+            mode = "ragged (1 program)"
+        else:
+            groups = defaultdict(list)
+            for i, pr in enumerate(prompts):
+                groups[len(pr)].append(i)
+            for plen, idxs in sorted(groups.items()):
+                batch = jnp.asarray([prompts[i] for i in idxs], jnp.int32)
+                out = generate_cached(
+                    model, variables, batch, jax.random.fold_in(key, plen),
+                    max_new_tokens=args.max_new_tokens,
+                    temperature=args.temperature, top_k=args.top_k,
+                    top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
+                )
+                for row, i in zip(np.asarray(out), idxs):
+                    results[i] = row.tolist()
+            mode = f"{len(groups)} length group(s)"
         for i, row in enumerate(results):
             print(f"[{i}] token ids: {row}")
         if args.output_file:
@@ -281,10 +314,10 @@ def main(argv: Optional[list] = None) -> None:
                     }) + "\n")
             print(f"[serve] wrote {len(results)} results to "
                   f"{args.output_file}")
-        print(f"[serve] batch: {len(prompts)} prompts in {len(groups)} "
-              "length group(s)")
+        print(f"[serve] batch: {len(prompts)} prompts, {mode}")
         return
     if args.draft_checkpoint_dir:
+        from forde_tpu.models.decoder_lm import FORDEDecoderLM
         from forde_tpu.models.speculative import generate_speculative
         from forde_tpu.train.checkpoint import load_lm_state
 

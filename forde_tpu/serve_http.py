@@ -1,0 +1,330 @@
+"""HTTP serving daemon: dynamic batching over the ragged decoder.
+
+The reference repo is training-only; this is the online-serving surface
+on top of the batch engine (``models/generate.generate_ragged``):
+
+  python -m forde_tpu.serve_http --checkpoint_dir runs/ckpt --port 8000
+
+  POST /generate   {"prompt_ids": [1,2,3], "max_new_tokens": 16}
+                -> {"output_ids": [...], "prompt_len": 3, "batch_rows": 4}
+  GET  /healthz -> {"status": "ok", ...model/config summary...}
+  GET  /stats   -> request/batch/token counters
+
+Requests land in a queue; ONE decode worker drains it into batches —
+it takes the first request, then waits up to ``--batch_window_ms`` for
+stragglers (at most ``--max_batch`` rows) — and decodes every request
+in the batch in a single program. Mixed prompt lengths are free for
+dense-causal configs: the batch is right-padded and decoded RAGGED
+(per-row cache positions). To keep the set of compiled programs small,
+shapes are bucketed — prompt length and row count each round up to a
+power of two — so at most log2(max_seq_len) x log2(max_batch) distinct
+executables exist, each compiled once (and the persistent XLA cache
+makes them survive restarts).
+
+NSA configs are served too, but their streaming caches are
+phase-locked to a shared position, so a batch is split into exact
+same-length groups (no length bucketing — compile variety scales with
+distinct prompt lengths; dense configs are the recommended online
+targets, as in ``serve --prompts_file``).
+
+Sampling parameters (temperature/top-k/top-p/eos) are server-level
+flags: they are compile-time constants of the decode program, so
+per-request values would defeat the shape bucketing. Per-request
+``max_new_tokens`` (<= the server's ``--max_new_tokens``) is honored
+by trimming: the program always runs the server maximum.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forde_tpu.serve import build_parser, load_serving_model
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclass
+class _Pending:
+    prompt: list
+    max_new: int
+    done: threading.Event = field(default_factory=threading.Event)
+    output: Optional[list] = None
+    error: Optional[str] = None
+    batch_rows: int = 0
+
+
+class Batcher:
+    """Queue + single decode worker. ``submit`` blocks the (per-request
+    handler) thread until its row is decoded."""
+
+    def __init__(self, config, model, variables, args):
+        self.config = config
+        self.model = model
+        self.variables = variables
+        self.args = args
+        self.queue: "queue.Queue[_Pending]" = queue.Queue()
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "rows_decoded": 0,
+            "rows_padding": 0,
+            "tokens_generated": 0,
+            "max_batch_rows": 0,
+        }
+        self._lock = threading.Lock()
+        self._running = True
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, prompt: list, max_new: int) -> _Pending:
+        req = _Pending(prompt=prompt, max_new=max_new)
+        with self._lock:
+            self.stats["requests"] += 1
+        self.queue.put(req)
+        req.done.wait()
+        return req
+
+    def stop(self):
+        self._running = False
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _run(self):
+        window = self.args.batch_window_ms / 1000.0
+        while self._running:
+            try:
+                first = self.queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + window
+            while len(batch) < self.args.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._decode(batch)
+            except Exception as e:  # surface, don't kill the worker
+                for req in batch:
+                    req.error = f"{type(e).__name__}: {e}"
+            for req in batch:
+                req.done.set()
+
+    def _decode(self, batch):
+        with self._lock:
+            self.stats["batches"] += 1
+            self.stats["rows_decoded"] += len(batch)
+            self.stats["max_batch_rows"] = max(
+                self.stats["max_batch_rows"], len(batch)
+            )
+        if self.config.use_sparse_attention:
+            self._decode_nsa_groups(batch)
+        else:
+            self._decode_ragged(batch)
+        with self._lock:
+            self.stats["tokens_generated"] += sum(
+                len(r.output) - len(r.prompt)
+                for r in batch
+                if r.output is not None
+            )
+
+    def _decode_ragged(self, batch):
+        from forde_tpu.models.generate import generate_ragged
+
+        args, config = self.args, self.config
+        lens = np.array([len(r.prompt) for r in batch], np.int32)
+        # shape buckets: pow2 prompt length and row count -> bounded
+        # compile set; pad rows repeat row 0 and are discarded
+        pmax = min(
+            _next_pow2(int(lens.max())),
+            config.max_seq_len - args.max_new_tokens,
+        )
+        rows = _next_pow2(len(batch))
+        with self._lock:
+            self.stats["rows_padding"] += rows - len(batch)
+        padded = np.full((rows, pmax), args.pad_id, np.int32)
+        all_lens = np.full((rows,), int(lens[0]), np.int32)
+        for i, r in enumerate(batch):
+            padded[i, : len(r.prompt)] = r.prompt
+            all_lens[i] = len(r.prompt)
+        padded[len(batch):, : len(batch[0].prompt)] = batch[0].prompt
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(args.seed), self.stats["batches"]
+        )
+        out = np.asarray(generate_ragged(
+            self.model, self.variables, jnp.asarray(padded),
+            jnp.asarray(all_lens), key,
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
+        ))
+        for i, r in enumerate(batch):
+            r.output = out[i, : len(r.prompt) + r.max_new].tolist()
+            r.batch_rows = rows
+
+    def _decode_nsa_groups(self, batch):
+        from collections import defaultdict
+
+        from forde_tpu.models.generate import generate_cached
+
+        args = self.args
+        groups = defaultdict(list)
+        for r in batch:
+            groups[len(r.prompt)].append(r)
+        for plen, reqs in sorted(groups.items()):
+            ids = jnp.asarray([r.prompt for r in reqs], jnp.int32)
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed),
+                self.stats["batches"] * 131071 + plen,
+            )
+            out = np.asarray(generate_cached(
+                self.model, self.variables, ids, key,
+                max_new_tokens=args.max_new_tokens,
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
+            ))
+            for row, r in zip(out, reqs):
+                r.output = row[: plen + r.max_new].tolist()
+                r.batch_rows = len(reqs)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    batcher: Batcher = None  # set by make_server
+    quiet: bool = True
+
+    def log_message(self, fmt, *a):  # stdlib default spams stderr
+        if not self.quiet:
+            super().log_message(fmt, *a)
+
+    def _send(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        b = self.batcher
+        if self.path == "/healthz":
+            cfg = b.config
+            self._send(200, {
+                "status": "ok",
+                "d_model": cfg.d_model,
+                "num_layers": cfg.num_layers,
+                "nsa": cfg.use_sparse_attention,
+                "max_seq_len": cfg.max_seq_len,
+                "max_new_tokens": b.args.max_new_tokens,
+            })
+        elif self.path == "/stats":
+            with b._lock:
+                self._send(200, dict(b.stats))
+        else:
+            self._send(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        if self.path != "/generate":
+            self._send(404, {"error": "unknown path"})
+            return
+        b = self.batcher
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            prompt = req.get("prompt_ids")
+            if (
+                not isinstance(prompt, list)
+                or not prompt
+                or not all(isinstance(t, int) and t >= 0 for t in prompt)
+            ):
+                raise ValueError("prompt_ids must be a non-empty list of "
+                                 "non-negative ints")
+            max_new = int(req.get("max_new_tokens", b.args.max_new_tokens))
+            if not 1 <= max_new <= b.args.max_new_tokens:
+                raise ValueError(
+                    f"max_new_tokens must be in [1, {b.args.max_new_tokens}] "
+                    "(the server's compiled maximum)"
+                )
+            limit = b.config.max_seq_len - b.args.max_new_tokens
+            if len(prompt) > limit:
+                raise ValueError(
+                    f"prompt length {len(prompt)} > {limit} "
+                    "(max_seq_len - server max_new_tokens)"
+                )
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send(400, {"error": str(e)})
+            return
+        res = b.submit(prompt, max_new)
+        if res.error is not None:
+            self._send(500, {"error": res.error})
+        else:
+            self._send(200, {
+                "output_ids": res.output,
+                "prompt_len": len(prompt),
+                "batch_rows": res.batch_rows,
+            })
+
+
+def add_server_args(p):
+    p.add_argument("--port", type=int, default=8000,
+                   help="0 picks a free port (printed at startup)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--max_batch", type=int, default=32,
+                   help="max requests decoded in one program")
+    p.add_argument("--batch_window_ms", type=float, default=30.0,
+                   help="after the first queued request, wait this long "
+                        "for more before decoding")
+    return p
+
+
+def make_server(args):
+    """Build (ThreadingHTTPServer, Batcher) without serving — the test
+    entry; ``main`` wraps it with serve_forever."""
+    config, model, variables = load_serving_model(args)
+    if args.beam_size > 1 or args.draft_checkpoint_dir:
+        raise SystemExit("serve_http composes with greedy/sampled cached "
+                         "decode only")
+    batcher = Batcher(config, model, variables, args)
+    handler = type("Handler", (_Handler,), {"batcher": batcher})
+    server = ThreadingHTTPServer((args.host, args.port), handler)
+    return server, batcher
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = add_server_args(build_parser()).parse_args(argv)
+    server, batcher = make_server(args)
+    host, port = server.server_address[:2]
+    print(f"[serve_http] serving on http://{host}:{port} "
+          f"(max_batch={args.max_batch}, "
+          f"window={args.batch_window_ms}ms, "
+          f"max_new_tokens={args.max_new_tokens})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.stop()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -160,9 +160,9 @@ def test_serve_speculative_decoding(tmp_path, capsys):
 
 
 def test_serve_prompts_file_batch(tmp_path, capsys):
-    """Batch serving: prompts grouped by length, decoded in batches,
-    results in input order; each row must equal the single-prompt greedy
-    output for the same prompt."""
+    """Batch serving (NSA config -> length groups): prompts grouped by
+    length, decoded in batches, results in input order; each row must
+    equal the single-prompt greedy output for the same prompt."""
     import json
 
     from forde_tpu import serve
@@ -181,7 +181,7 @@ def test_serve_prompts_file_batch(tmp_path, capsys):
         "--max_new_tokens", "3", "--temperature", "0", *shape,
     ])
     out = capsys.readouterr().out
-    assert "4 prompts in 2 length group(s)" in out
+    assert "4 prompts, 2 length group(s)" in out
 
     rows = [json.loads(ln) for ln in out_file.read_text().splitlines()]
     assert [r["index"] for r in rows] == [0, 1, 2, 3]
@@ -200,3 +200,41 @@ def test_serve_prompts_file_batch(tmp_path, capsys):
         capsys.readouterr().out.split("token ids:")[1].splitlines()[0]
     )
     assert rows[2]["output_ids"] == single
+
+
+def test_serve_prompts_file_ragged_dense(tmp_path, capsys):
+    """Dense config batch serving goes through the ragged single-program
+    path; rows must equal single-prompt greedy decoding exactly."""
+    import json
+
+    from forde_tpu import serve
+
+    shape = [
+        "--d_model", "32", "--num_layers", "1", "--num_heads", "2",
+        "--num_experts", "2", "--no_nsa", "--seq_len", "32",
+    ]
+    prompts = ["5,17,20", "9,9", "7,3,11,8,2"]
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("\n".join(prompts) + "\n")
+    out_file = tmp_path / "out.jsonl"
+
+    serve.main([
+        "--prompts_file", str(pf), "--output_file", str(out_file),
+        "--max_new_tokens", "3", "--temperature", "0", *shape,
+    ])
+    out = capsys.readouterr().out
+    assert "3 prompts, ragged (1 program)" in out
+    rows = [json.loads(ln) for ln in out_file.read_text().splitlines()]
+    for r, p in zip(rows, prompts):
+        want = [int(t) for t in p.split(",")]
+        assert r["output_ids"][: len(want)] == want
+        assert len(r["output_ids"]) == len(want) + 3
+
+    serve.main([
+        "--prompt_ids", prompts[1], "--max_new_tokens", "3",
+        "--temperature", "0", *shape,
+    ])
+    single = eval(
+        capsys.readouterr().out.split("token ids:")[1].splitlines()[0]
+    )
+    assert rows[1]["output_ids"] == single
