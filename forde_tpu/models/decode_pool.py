@@ -1,0 +1,271 @@
+"""Continuous batching: a fixed-capacity decode pool with token-level
+request join/leave (the vLLM-style serving engine, TPU-native).
+
+The reference repo is training-only; batch serving above
+(``generate_ragged``) decodes a CLOSED batch — every row waits for the
+slowest one, and new requests wait for the whole batch. The pool fixes
+both with static shapes XLA can live with:
+
+* a pool of ``rows`` decode slots, each with its own cache rows and
+  position counter (reusing the per-row-position machinery of
+  ``generate_ragged`` / ``CausalSelfAttention positions``);
+* requests PREFILL into a free slot with a single-row program (one
+  compile per power-of-two prompt-length bucket) and the resulting
+  cache row is scattered into the pool;
+* ONE pooled step program advances every active slot one token at its
+  own position; inactive slots decode a pad token into scratch space
+  (their next insert replaces the whole cache row, so the garbage is
+  unobservable);
+* a slot frees as soon as its row hits EOS or its own token budget —
+  the next queued request takes it on the following scheduler tick.
+
+All shapes are static: the pool size, the bucketed prefill lengths and
+the per-step (rows, 1) token tensor never change, so the engine runs
+exactly 1 + log2(max_seq_len) compiled programs for its whole life.
+
+Dense-causal configs only (same contract as ``generate_ragged``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forde_tpu.models.decoder_lm import FORDEDecoderLM
+from forde_tpu.models.generate import _sample
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "temperature", "top_k", "top_p")
+)
+def _prefill_one(
+    model, variables, prompt, length, key, temperature, top_k, top_p
+):
+    """(1, P)-padded prompt -> (cache row stack, first sampled token).
+
+    One compile per pow2-bucketed P."""
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+    cache = model.init(jax.random.PRNGKey(0), prompt, None, True, True)[
+        "cache"
+    ]
+    (logits, _), updated = model.apply(
+        {**model_vars, "cache": cache}, prompt, None, True, True,
+        mutable=["cache", "stats_buffer"],
+    )
+    last = jnp.take_along_axis(logits, (length - 1)[None, None, None], axis=1)[
+        :, 0, :
+    ].astype(jnp.float32)
+    token = _sample(last, key, temperature, top_k, top_p)[0]
+    return updated["cache"], token
+
+
+def _batched_leaf_axis(path) -> Optional[int]:
+    """Batch axis of a cache leaf: 1 under the scanned ``layers`` subtree
+    (leading (L,) axis), 0 otherwise; None for per-layer counters."""
+    keys = [getattr(k, "key", None) for k in path]
+    stacked = keys and keys[0] == "layers"
+    return 1 if stacked else 0
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_row(pool_cache, row_cache, slot):
+    """Scatter a single-row cache into pool slot ``slot`` (traced)."""
+
+    def put(path, pool_leaf, new_leaf):
+        ax = _batched_leaf_axis(path)
+        if pool_leaf.ndim < ax + 2:
+            # scalar / (L,) per-layer counters (pos_index, cache_index):
+            # not per-row — the pooled step derives positions per row
+            # instead, so their value is irrelevant.
+            return pool_leaf
+        idx = [slice(None)] * pool_leaf.ndim
+        idx[ax] = slot
+        taken = jnp.take(new_leaf, 0, axis=ax)
+        return pool_leaf.at[tuple(idx)].set(taken)
+
+    return jax.tree_util.tree_map_with_path(put, pool_cache, row_cache)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "temperature", "top_k", "top_p"),
+    donate_argnums=(2,),
+)
+def _step_pool(
+    model, variables, cache, tokens, positions, key, temperature, top_k,
+    top_p,
+):
+    """Advance every pool row one token at its own position."""
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+    safe_pos = jnp.clip(positions, 0, model.config.max_seq_len - 1)
+    (logits, _), updated = model.apply(
+        {**model_vars, "cache": cache}, tokens[:, None], None, True, True,
+        safe_pos, mutable=["cache", "stats_buffer"],
+    )
+    nxt = _sample(
+        logits[:, 0, :].astype(jnp.float32), key, temperature, top_k, top_p
+    )
+    return updated["cache"], nxt
+
+
+class DecodePool:
+    """Host-side scheduler around the three jitted programs.
+
+    Usage:
+        pool = DecodePool(model, variables, rows=8, temperature=0.0)
+        rid = pool.submit([5, 17, 20], max_new_tokens=16, eos_id=None)
+        while pool.pending():
+            for rid, output_ids in pool.tick():
+                ...  # finished requests, prompt + continuation
+
+    ``tick()`` fills free slots from the queue (one prefill each), runs
+    one pooled step, and returns the requests that finished this tick.
+    """
+
+    def __init__(
+        self,
+        model: FORDEDecoderLM,
+        variables,
+        rows: int = 8,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        seed: int = 0,
+        min_prefill_bucket: int = 8,
+    ):
+        if model.config.use_sparse_attention:
+            raise ValueError(
+                "DecodePool supports dense-causal configs only (same "
+                "contract as generate_ragged)"
+            )
+        self.model = model
+        self.variables = variables
+        self.rows = rows
+        self.sampling = (temperature, top_k, top_p)
+        self.min_prefill_bucket = min_prefill_bucket
+        self._key = jax.random.PRNGKey(seed)
+        self._steps = 0
+
+        # pool cache: init once at (rows, 1) decode shape
+        self.cache = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((rows, 1), jnp.int32), None,
+            True, True,
+        )["cache"]
+        self.tokens = jnp.zeros((rows,), jnp.int32)  # next token to feed
+        self.positions = np.zeros((rows,), np.int64)  # its position
+        self.active = np.zeros((rows,), bool)
+        self.queue: List[dict] = []
+        self._slot_req = [None] * rows  # per-slot request record
+        self._next_id = 0
+        self.last_step_rows = 0  # rows active in the most recent step
+
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt_ids, max_new_tokens, eos_id=None) -> int:
+        """Queue a request; returns its id (reported back by tick())."""
+        prompt_ids = list(map(int, prompt_ids))
+        assert prompt_ids, "empty prompt"
+        limit = self.model.config.max_seq_len
+        assert len(prompt_ids) + max_new_tokens <= limit, (
+            f"prompt {len(prompt_ids)} + {max_new_tokens} > max_seq_len "
+            f"{limit}"
+        )
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append({
+            "id": rid, "prompt": prompt_ids, "max_new": max_new_tokens,
+            "eos": eos_id,
+        })
+        return rid
+
+    def pending(self) -> bool:
+        return bool(self.queue) or bool(self.active.any())
+
+    def active_rows(self) -> int:
+        return int(self.active.sum())
+
+    # ------------------------------------------------------------------
+
+    def _fill_slots(self):
+        for slot in range(self.rows):
+            if self.active[slot] or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            p = req["prompt"]
+            bucket = max(_next_pow2(len(p)), self.min_prefill_bucket)
+            bucket = min(bucket, self.model.config.max_seq_len)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, : len(p)] = p
+            self._key, k = jax.random.split(self._key)
+            row_cache, token = _prefill_one(
+                self.model, self.variables, jnp.asarray(padded),
+                jnp.asarray(len(p), jnp.int32), k, *self.sampling,
+            )
+            self.cache = _insert_row(
+                self.cache, row_cache, jnp.asarray(slot, jnp.int32)
+            )
+            self.tokens = self.tokens.at[slot].set(token)
+            self.positions[slot] = len(p)
+            self.active[slot] = True
+            req["out"] = list(p) + [int(token)]
+            req["left"] = req["max_new"] - 1
+            self._slot_req[slot] = req
+
+    def _finish(self, slot):
+        req = self._slot_req[slot]
+        self.active[slot] = False
+        self._slot_req[slot] = None
+        return req["id"], req["out"]
+
+    def tick(self):
+        """One scheduler round; returns [(request_id, output_ids), ...]
+        finished this round."""
+        finished = []
+        self._fill_slots()
+        # rows whose first (prefill-sampled) token already ends them
+        for slot in range(self.rows):
+            if not self.active[slot]:
+                continue
+            req = self._slot_req[slot]
+            if req["left"] == 0 or req["out"][-1] == req["eos"]:
+                finished.append(self._finish(slot))
+        if not self.active.any():
+            return finished
+
+        self.last_step_rows = int(self.active.sum())
+        self._key, k = jax.random.split(self._key)
+        self.cache, nxt = _step_pool(
+            self.model, self.variables, self.cache, self.tokens,
+            jnp.asarray(self.positions, jnp.int32), k, *self.sampling,
+        )
+        self.tokens = nxt
+        self._steps += 1
+        nxt_host = np.asarray(nxt)
+        for slot in range(self.rows):
+            if not self.active[slot]:
+                continue
+            req = self._slot_req[slot]
+            tok = int(nxt_host[slot])
+            req["out"].append(tok)
+            req["left"] -= 1
+            self.positions[slot] += 1
+            if req["left"] == 0 or tok == req["eos"]:
+                finished.append(self._finish(slot))
+        return finished

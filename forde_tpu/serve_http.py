@@ -32,6 +32,13 @@ flags: they are compile-time constants of the decode program, so
 per-request values would defeat the shape bucketing. Per-request
 ``max_new_tokens`` (<= the server's ``--max_new_tokens``) is honored
 by trimming: the program always runs the server maximum.
+
+``--continuous`` switches to CONTINUOUS batching (dense configs):
+requests join and leave a fixed-capacity decode pool at token
+granularity (``models/decode_pool.DecodePool``) — no batch boundaries,
+short requests finish early, and a freed slot is refilled on the next
+scheduler tick. Per-request ``max_new_tokens`` then bounds the actual
+decode work, not just the trim.
 """
 
 from __future__ import annotations
@@ -208,6 +215,101 @@ class Batcher:
                 r.batch_rows = len(reqs)
 
 
+class ContinuousBatcher:
+    """Same submit() contract as Batcher, but token-granular: requests
+    join the decode pool (models/decode_pool.DecodePool) the moment a
+    slot is free — nobody waits for a batch boundary, and short requests
+    leave early. ``--max_batch`` is the pool's row capacity."""
+
+    def __init__(self, config, model, variables, args):
+        from forde_tpu.models.decode_pool import DecodePool
+
+        self.config = config
+        self.model = model
+        self.variables = variables
+        self.args = args
+        self.pool = DecodePool(
+            model, variables, rows=args.max_batch,
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, seed=args.seed,
+        )
+        self.queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._inflight = {}
+        self.stats = {
+            "requests": 0,
+            "ticks": 0,
+            "max_active_rows": 0,
+            "tokens_generated": 0,
+        }
+        self._lock = threading.Lock()
+        self._running = True
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, prompt: list, max_new: int) -> _Pending:
+        req = _Pending(prompt=prompt, max_new=max_new)
+        with self._lock:
+            self.stats["requests"] += 1
+        self.queue.put(req)
+        req.done.wait()
+        return req
+
+    def stop(self):
+        self._running = False
+        self._worker.join(timeout=5)
+
+    def _admit(self, req: _Pending):
+        rid = self.pool.submit(
+            req.prompt, req.max_new, eos_id=self.args.eos_id
+        )
+        self._inflight[rid] = req
+
+    def _run(self):
+        while self._running:
+            try:
+                if self.pool.pending():
+                    while True:
+                        try:
+                            self._admit(self.queue.get_nowait())
+                        except queue.Empty:
+                            break
+                    done = self.pool.tick()
+                    with self._lock:
+                        self.stats["ticks"] += 1
+                        self.stats["max_active_rows"] = max(
+                            self.stats["max_active_rows"],
+                            self.pool.last_step_rows,
+                        )
+                    for rid, out in done:
+                        req = self._inflight.pop(rid)
+                        req.output = out
+                        req.batch_rows = self.pool.rows
+                        with self._lock:
+                            self.stats["tokens_generated"] += (
+                                len(out) - len(req.prompt)
+                            )
+                        req.done.set()
+                else:
+                    try:
+                        self._admit(self.queue.get(timeout=0.2))
+                    except queue.Empty:
+                        continue
+            except Exception as e:  # fail inflight, keep serving
+                from forde_tpu.models.decode_pool import DecodePool
+
+                err = f"{type(e).__name__}: {e}"
+                for req in self._inflight.values():
+                    req.error = err
+                    req.done.set()
+                self._inflight.clear()
+                self.pool = DecodePool(
+                    self.model, self.variables, rows=self.args.max_batch,
+                    temperature=self.args.temperature,
+                    top_k=self.args.top_k, top_p=self.args.top_p,
+                    seed=self.args.seed,
+                )
+
+
 class _Handler(BaseHTTPRequestHandler):
     batcher: Batcher = None  # set by make_server
     quiet: bool = True
@@ -293,6 +395,11 @@ def add_server_args(p):
     p.add_argument("--batch_window_ms", type=float, default=30.0,
                    help="after the first queued request, wait this long "
                         "for more before decoding")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching: requests join/leave the "
+                        "decode pool at TOKEN granularity (no batch "
+                        "boundaries; --max_batch = pool rows; dense "
+                        "configs only)")
     return p
 
 
@@ -303,7 +410,13 @@ def make_server(args):
     if args.beam_size > 1 or args.draft_checkpoint_dir:
         raise SystemExit("serve_http composes with greedy/sampled cached "
                          "decode only")
-    batcher = Batcher(config, model, variables, args)
+    if args.continuous:
+        if config.use_sparse_attention:
+            raise SystemExit("--continuous requires a dense-causal config "
+                             "(NSA caches are position-phase-locked)")
+        batcher = ContinuousBatcher(config, model, variables, args)
+    else:
+        batcher = Batcher(config, model, variables, args)
     handler = type("Handler", (_Handler,), {"batcher": batcher})
     server = ThreadingHTTPServer((args.host, args.port), handler)
     return server, batcher

@@ -1,0 +1,102 @@
+"""Continuous batching engine: slot reuse, mid-flight joins, exactness.
+
+Every request that flows through the pool must produce exactly the
+single-prompt greedy continuation of generate_cached — the pool only
+changes WHEN work happens, never the results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forde_tpu.models.decoder_lm import FORDEDecoderLM
+from forde_tpu.models.generate import generate_cached
+from tests.test_decoder_model import tiny_config
+
+
+def _fixture(scan_layers=False):
+    cfg = tiny_config(
+        use_sparse_attention=False, max_seq_len=64, scan_layers=scan_layers
+    )
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    return cfg, model, variables
+
+
+def _single(model, variables, prompt, new):
+    return np.asarray(generate_cached(
+        model, variables, jnp.asarray([prompt], jnp.int32),
+        jax.random.PRNGKey(0), max_new_tokens=new, temperature=0,
+    ))[0].tolist()
+
+
+def test_pool_more_requests_than_rows_all_exact():
+    """5 mixed-length requests through a 2-slot pool: slots must be
+    reused and every output equals single-prompt greedy decoding."""
+    from forde_tpu.models.decode_pool import DecodePool
+
+    cfg, model, variables = _fixture()
+    rng = np.random.RandomState(0)
+    prompts = [
+        rng.randint(1, cfg.vocab_size, (n,)).tolist()
+        for n in (3, 5, 2, 7, 4)
+    ]
+    budgets = [4, 2, 5, 3, 4]
+
+    pool = DecodePool(model, variables, rows=2, temperature=0.0)
+    rids = [
+        pool.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)
+    ]
+    results = {}
+    ticks = 0
+    while pool.pending():
+        for rid, out in pool.tick():
+            results[rid] = out
+        ticks += 1
+        assert ticks < 200, "pool did not drain"
+    assert set(results) == set(rids)
+    for rid, p, b in zip(rids, prompts, budgets):
+        assert results[rid] == _single(model, variables, p, b), (
+            f"request {rid} diverged"
+        )
+
+
+def test_pool_mid_flight_join_and_eos():
+    """A request submitted while others are mid-decode joins a free slot
+    without disturbing them; EOS frees a slot early."""
+    from forde_tpu.models.decode_pool import DecodePool
+
+    cfg, model, variables = _fixture(scan_layers=True)
+    p0, p1, p2 = [5, 17, 20], [9, 9], [7, 3, 11, 8]
+    ref0 = _single(model, variables, p0, 6)
+    eos0 = ref0[len(p0) + 1]  # second generated token ends request 0
+
+    pool = DecodePool(model, variables, rows=2, temperature=0.0)
+    r0 = pool.submit(p0, max_new_tokens=6, eos_id=eos0)
+    r1 = pool.submit(p1, max_new_tokens=5)
+    results = {}
+    ticks = 0
+    joined = False
+    while pool.pending() or not joined:
+        if ticks == 2 and not joined:
+            r2 = pool.submit(p2, max_new_tokens=3)
+            joined = True
+        for rid, out in pool.tick():
+            results[rid] = out
+        ticks += 1
+        assert ticks < 100
+    # eos truncation: request 0 stops at its eos token
+    assert results[r0] == ref0[: len(p0) + 2]
+    assert results[r1] == _single(model, variables, p1, 5)
+    assert results[r2] == _single(model, variables, p2, 3)
+
+
+def test_pool_rejects_nsa():
+    from forde_tpu.models.decode_pool import DecodePool
+
+    cfg = tiny_config()  # NSA on
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    with pytest.raises(ValueError, match="dense-causal"):
+        DecodePool(model, variables, rows=2)
