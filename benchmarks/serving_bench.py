@@ -1,0 +1,214 @@
+"""Serving throughput: sequential vs ragged batch vs continuous pool.
+
+Drives the decode engines directly (no HTTP overhead) on a synthetic
+mixed workload — R requests with uniform prompt lengths and token
+budgets — and prints one JSON line per mode:
+
+  sequential  — generate_cached per request, one at a time (the
+                baseline a naive user would write)
+  ragged      — ONE generate_ragged program over the whole closed
+                batch (everyone pays the longest budget)
+  continuous  — DecodePool with all requests queued up front: slots
+                refill the moment a row finishes, so the chip never
+                idles on finished rows (and per-request budgets bound
+                actual work)
+
+Usage: python benchmarks/serving_bench.py [--requests 32] [--rows 8]
+         [--d_model 256] [--num_layers 4] [--scan_layers] ...
+Sync discipline: every timed section ends with a host transfer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(args):
+    from forde_tpu.core.config import DTypePolicy, LLMConfig
+    from forde_tpu.models.decoder_lm import FORDEDecoderLM
+
+    cfg = LLMConfig(
+        vocab_size=50_304,
+        d_model=args.d_model,
+        num_layers=args.num_layers,
+        num_heads=args.num_heads,
+        head_dim=args.d_model // args.num_heads,
+        max_seq_len=args.max_seq_len,
+        num_experts=args.num_experts,
+        top_k_experts=2,
+        expert_hidden_dim=4 * args.d_model,
+        use_sparse_attention=False,
+        use_moe=args.num_experts > 1,
+        use_hyper_connections=False,
+        scan_layers=args.scan_layers,
+        dropout_rate=0.0,
+    )
+    if args.bf16:
+        cfg = cfg.replace(dtypes=DTypePolicy.bf16())
+    model = FORDEDecoderLM(config=cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+    )
+    variables = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+    return cfg, model, variables
+
+
+def workload(args, cfg):
+    """Mixed lengths/budgets drawn from pow2-ish grids so the SEQUENTIAL
+    baseline compiles a bounded set of (prompt_len, budget) programs —
+    otherwise its warmup is all remote-compiler time."""
+    rng = np.random.RandomState(args.seed)
+
+    def grid(lo, hi):
+        g, v = [], lo
+        while v <= hi:
+            g.append(v)
+            v *= 2
+        return g
+
+    lens = rng.choice(grid(args.min_prompt, args.max_prompt), args.requests)
+    budgets = rng.choice(grid(args.min_new, args.max_new), args.requests)
+    prompts = [
+        rng.randint(1, cfg.vocab_size, (n,)).tolist() for n in lens
+    ]
+    return prompts, budgets
+
+
+def run_sequential(model, variables, prompts, budgets, warm):
+    from forde_tpu.models.generate import generate_cached
+
+    def once():
+        outs = []
+        for p, b in zip(prompts, budgets):
+            out = generate_cached(
+                model, variables, jnp.asarray([p], jnp.int32),
+                jax.random.PRNGKey(0), max_new_tokens=int(b), temperature=0,
+            )
+            outs.append(np.asarray(out))  # host sync
+        return outs
+
+    if warm:
+        once()
+    t0 = time.perf_counter()
+    once()
+    return time.perf_counter() - t0
+
+
+def run_ragged(model, variables, prompts, budgets, warm):
+    from forde_tpu.models.generate import generate_ragged
+
+    lens = np.array([len(p) for p in prompts], np.int32)
+    pmax = int(lens.max())
+    new = int(budgets.max())  # a closed batch pays the longest budget
+    padded = np.zeros((len(prompts), pmax), np.int32)
+    for i, p in enumerate(prompts):
+        padded[i, : len(p)] = p
+
+    def once():
+        out = generate_ragged(
+            model, variables, jnp.asarray(padded), jnp.asarray(lens),
+            jax.random.PRNGKey(0), max_new_tokens=new, temperature=0,
+        )
+        return np.asarray(out)  # host sync
+
+    if warm:
+        once()
+    t0 = time.perf_counter()
+    once()
+    return time.perf_counter() - t0
+
+
+def run_pool(model, variables, prompts, budgets, rows, warm):
+    from forde_tpu.models.decode_pool import DecodePool
+
+    def once():
+        pool = DecodePool(model, variables, rows=rows, temperature=0.0)
+        for p, b in zip(prompts, budgets):
+            pool.submit(p, max_new_tokens=int(b))
+        n_done, ticks = 0, 0
+        while pool.pending():
+            n_done += len(pool.tick())
+            ticks += 1
+        assert n_done == len(prompts)
+        return ticks
+
+    if warm:
+        once()
+    t0 = time.perf_counter()
+    ticks = once()
+    return time.perf_counter() - t0, ticks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=8)
+    ap.add_argument("--d_model", type=int, default=256)
+    ap.add_argument("--num_layers", type=int, default=4)
+    ap.add_argument("--num_heads", type=int, default=4)
+    ap.add_argument("--num_experts", type=int, default=8)
+    ap.add_argument("--max_seq_len", type=int, default=1024)
+    ap.add_argument("--min_prompt", type=int, default=16)
+    ap.add_argument("--max_prompt", type=int, default=128)
+    ap.add_argument("--min_new", type=int, default=16)
+    ap.add_argument("--max_new", type=int, default=64)
+    ap.add_argument("--scan_layers", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip", default="",
+                    help="comma list: sequential,ragged,continuous")
+    ap.add_argument("--no_warm", action="store_true",
+                    help="skip the untimed warmup pass (saves time when "
+                         "compiles dominate anyway)")
+    args = ap.parse_args()
+
+    cfg, model, variables = build(args)
+    prompts, budgets = workload(args, cfg)
+    tokens = int(budgets.sum())
+    print(f"# backend={jax.default_backend()} requests={args.requests} "
+          f"prompt_len=[{args.min_prompt},{args.max_prompt}] "
+          f"new=[{args.min_new},{args.max_new}] "
+          f"output_tokens={tokens} rows={args.rows}", flush=True)
+    skip = set(args.skip.split(","))
+    warm = not args.no_warm
+
+    if "sequential" not in skip:
+        dt = run_sequential(model, variables, prompts, budgets, warm)
+        print(json.dumps({
+            "mode": "sequential", "wall_s": round(dt, 3),
+            "out_tok_per_s": round(tokens / dt, 1),
+        }), flush=True)
+    if "ragged" not in skip:
+        dt = run_ragged(model, variables, prompts, budgets, warm)
+        padded_tokens = int(budgets.max()) * args.requests
+        print(json.dumps({
+            "mode": "ragged_batch", "wall_s": round(dt, 3),
+            "out_tok_per_s": round(tokens / dt, 1),
+            "decoded_incl_padding": padded_tokens,
+        }), flush=True)
+    if "continuous" not in skip:
+        dt, ticks = run_pool(
+            model, variables, prompts, budgets, args.rows, warm
+        )
+        print(json.dumps({
+            "mode": "continuous_pool", "wall_s": round(dt, 3),
+            "out_tok_per_s": round(tokens / dt, 1),
+            "ticks": ticks,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
