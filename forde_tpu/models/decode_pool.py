@@ -23,6 +23,17 @@ All shapes are static: the pool size, the bucketed prefill lengths and
 the per-step (rows, 1) token tensor never change, so the engine runs
 exactly 1 + log2(max_seq_len) compiled programs for its whole life.
 
+Serving extras on top:
+
+* **prefix caching** (``register_prefix`` + ``submit(prefix_id=...)``):
+  a shared system prompt is prefilled ONCE; each request prefills only
+  its suffix at the prefix's position offset (``_prefill_suffix``) and
+  the combined cache row is scattered into the slot — token-exact vs
+  submitting the concatenated prompt (tests/test_prefix.py);
+* **token streaming** (``submit(on_token=...)``): a host callback fires
+  for every sampled token the moment the step's tokens land on host —
+  the surface serve_http's SSE endpoint rides on.
+
 Dense-causal configs only (same contract as ``generate_ragged``).
 """
 
@@ -64,6 +75,36 @@ def _prefill_one(
     ]
     (logits, _), updated = model.apply(
         {**model_vars, "cache": cache}, prompt, None, True, True,
+        mutable=["cache", "stats_buffer"],
+    )
+    last = jnp.take_along_axis(logits, (length - 1)[None, None, None], axis=1)[
+        :, 0, :
+    ].astype(jnp.float32)
+    token = _sample(last, key, temperature, top_k, top_p)[0]
+    return updated["cache"], token
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "temperature", "top_k", "top_p")
+)
+def _prefill_suffix(
+    model, variables, prefix_cache, suffix, length, key, temperature,
+    top_k, top_p,
+):
+    """Continue a shared-prefix cache with a (1, S)-padded SUFFIX.
+
+    The prefix forward already ran once (``generate.prefill_prefix``);
+    this program only pays for the suffix chunk — the decode-mode apply
+    scatters its K/V at the prefix's running offset and attends back
+    over prefix + suffix under one causal mask. One compile per pow2
+    suffix bucket (the prefix length is a traced cache counter, so every
+    prefix shares the executable)."""
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+    (logits, _), updated = model.apply(
+        {**model_vars, "cache": prefix_cache}, suffix, None, True, True,
         mutable=["cache", "stats_buffer"],
     )
     last = jnp.take_along_axis(logits, (length - 1)[None, None, None], axis=1)[
@@ -174,24 +215,51 @@ class DecodePool:
         self.queue: List[dict] = []
         self._slot_req = [None] * rows  # per-slot request record
         self._next_id = 0
+        self._prefixes: List[tuple] = []  # (cache, length) per prefix id
         self.last_step_rows = 0  # rows active in the most recent step
 
     # ------------------------------------------------------------------
 
-    def submit(self, prompt_ids, max_new_tokens, eos_id=None) -> int:
-        """Queue a request; returns its id (reported back by tick())."""
+    def register_prefix(self, prefix_ids) -> int:
+        """One forward over a shared prompt prefix (system prompt);
+        returns a prefix id for ``submit(prefix_id=...)``. Requests using
+        it prefill only their suffix — the prefix K/V are copied from
+        this cache (compute amortized across every request sharing it)."""
+        from forde_tpu.models.generate import prefill_prefix
+
+        prefix_ids = list(map(int, prefix_ids))
+        assert prefix_ids, "empty prefix"
+        cache = prefill_prefix(
+            self.model, self.variables,
+            jnp.asarray([prefix_ids], jnp.int32),
+        )
+        self._prefixes.append((cache, len(prefix_ids)))
+        return len(self._prefixes) - 1
+
+    def submit(
+        self, prompt_ids, max_new_tokens, eos_id=None, prefix_id=None,
+        on_token=None,
+    ) -> int:
+        """Queue a request; returns its id (reported back by tick()).
+
+        ``prefix_id``: continue from a ``register_prefix`` cache — the
+        output still holds prompt + continuation only (the prefix belongs
+        to the server). ``on_token``: host callback ``f(request_id,
+        token)`` fired for every generated token as it is sampled (the
+        streaming surface; serve_http SSE rides on it)."""
         prompt_ids = list(map(int, prompt_ids))
         assert prompt_ids, "empty prompt"
+        plen = self._prefixes[prefix_id][1] if prefix_id is not None else 0
         limit = self.model.config.max_seq_len
-        assert len(prompt_ids) + max_new_tokens <= limit, (
-            f"prompt {len(prompt_ids)} + {max_new_tokens} > max_seq_len "
-            f"{limit}"
+        assert plen + len(prompt_ids) + max_new_tokens <= limit, (
+            f"prefix {plen} + prompt {len(prompt_ids)} + {max_new_tokens} "
+            f"> max_seq_len {limit}"
         )
         rid = self._next_id
         self._next_id += 1
         self.queue.append({
             "id": rid, "prompt": prompt_ids, "max_new": max_new_tokens,
-            "eos": eos_id,
+            "eos": eos_id, "prefix": prefix_id, "cb": on_token,
         })
         return rid
 
@@ -209,24 +277,44 @@ class DecodePool:
                 continue
             req = self.queue.pop(0)
             p = req["prompt"]
+            plen0 = (
+                self._prefixes[req["prefix"]][1]
+                if req["prefix"] is not None else 0
+            )
             bucket = max(_next_pow2(len(p)), self.min_prefill_bucket)
-            bucket = min(bucket, self.model.config.max_seq_len)
+            # never let the padded chunk spill past the cache end — a
+            # dynamic_update_slice at offset plen0 would CLAMP the start
+            # index and overwrite prefix rows (submit() guarantees
+            # len(p) <= max_seq_len - plen0, so the clamp keeps
+            # bucket >= len(p))
+            bucket = min(bucket, self.model.config.max_seq_len - plen0)
             padded = np.zeros((1, bucket), np.int32)
             padded[0, : len(p)] = p
             self._key, k = jax.random.split(self._key)
-            row_cache, token = _prefill_one(
-                self.model, self.variables, jnp.asarray(padded),
-                jnp.asarray(len(p), jnp.int32), k, *self.sampling,
-            )
+            if req["prefix"] is not None:
+                prefix_cache, plen = self._prefixes[req["prefix"]]
+                row_cache, token = _prefill_suffix(
+                    self.model, self.variables, prefix_cache,
+                    jnp.asarray(padded), jnp.asarray(len(p), jnp.int32), k,
+                    *self.sampling,
+                )
+            else:
+                plen = 0
+                row_cache, token = _prefill_one(
+                    self.model, self.variables, jnp.asarray(padded),
+                    jnp.asarray(len(p), jnp.int32), k, *self.sampling,
+                )
             self.cache = _insert_row(
                 self.cache, row_cache, jnp.asarray(slot, jnp.int32)
             )
             self.tokens = self.tokens.at[slot].set(token)
-            self.positions[slot] = len(p)
+            self.positions[slot] = plen + len(p)
             self.active[slot] = True
             req["out"] = list(p) + [int(token)]
             req["left"] = req["max_new"] - 1
             self._slot_req[slot] = req
+            if req["cb"] is not None:
+                req["cb"](req["id"], int(token))
 
     def _finish(self, slot):
         req = self._slot_req[slot]
@@ -266,6 +354,8 @@ class DecodePool:
             req["out"].append(tok)
             req["left"] -= 1
             self.positions[slot] += 1
+            if req["cb"] is not None:
+                req["cb"](req["id"], tok)
             if req["left"] == 0 or tok == req["eos"]:
                 finished.append(self._finish(slot))
         return finished

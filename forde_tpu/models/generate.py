@@ -114,6 +114,59 @@ def _sample(next_logits, sample_key, temperature, top_k, top_p=None):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def prefill_prefix(model: FORDEDecoderLM, variables, prefix_ids: jnp.ndarray):
+    """Build a REUSABLE KV cache for a shared prompt prefix (1, L).
+
+    Serving workloads repeat a system prompt across requests; its
+    attention K/V depend only on the prefix itself (causal masking), so
+    one forward pass amortizes over every request that shares it. The
+    returned cache (batch 1, position counters = L) plugs into
+    ``generate_cached`` / ``generate_ragged`` via ``prefix_cache`` (tiled
+    across the request batch there) and into ``DecodePool.register_prefix``.
+
+    Dense-causal configs only (same contract as ``generate_ragged``):
+    NSA's compressed-pool chunking and global top-k selection make its
+    streaming caches depend on what FOLLOWS the prefix, so a reusable
+    prefix fragment does not exist for NSA. Exactness: continuing from
+    this cache is bit-identical to prefilling the concatenated prompt —
+    suffix queries see the same K/V rows under the same causal masks
+    (tests/test_prefix.py).
+    """
+    if model.config.use_sparse_attention:
+        raise ValueError(
+            "prefix caching supports dense-causal configs only (NSA "
+            "streaming caches depend on what follows the prefix)"
+        )
+    b, _ = prefix_ids.shape
+    assert b == 1, f"prefix is per-server, not per-request; got batch {b}"
+    cache = model.init(
+        jax.random.PRNGKey(0), prefix_ids, None, True, True
+    )["cache"]
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+    _, updated = model.apply(
+        {**model_vars, "cache": cache}, prefix_ids, None, True, True,
+        mutable=["cache", "stats_buffer"],
+    )
+    return updated["cache"]
+
+
+def tile_prefix_cache(prefix_cache, b: int):
+    """Tile a batch-1 prefix cache across ``b`` request rows (position
+    counters — scalar / (L,) leaves — are shared and stay untouched)."""
+    return _map_cache_batch(
+        prefix_cache, lambda x, ax: jnp.repeat(x, b, axis=ax)
+    )
+
+
+def prefix_length(prefix_cache) -> jnp.ndarray:
+    """Token length of a prefix cache (the model-level position counter)."""
+    return prefix_cache["pos_index"]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -132,6 +185,7 @@ def generate_cached(
     top_p: Optional[float] = None,
     eos_id: Optional[int] = None,
     pad_id: int = 0,
+    prefix_cache=None,
 ) -> jnp.ndarray:
     """KV-cache incremental sampling: O(1) attention work per new token.
 
@@ -143,6 +197,12 @@ def generate_cached(
     ``nsa_prefill`` (the streaming caches are built directly from the
     captured per-layer activations of a teacher-forced forward).
 
+    ``prefix_cache`` (optional, dense configs): a shared-prefix cache
+    from ``prefill_prefix`` — the prompt is treated as the SUFFIX and
+    prefilled at the prefix's position offset; the returned buffer holds
+    suffix + continuation only (the caller owns the prefix). Token-exact
+    vs prefilling the concatenated prompt.
+
     NSA note: generation implements STREAMING semantics (each new
     position computed at its generation-time length), while ``generate``'s
     full-recompute reevaluates earlier positions under the final
@@ -152,16 +212,24 @@ def generate_cached(
     coincide; see nn/attention.NativeSparseAttention._decode_step).
     """
     if model.config.use_sparse_attention:
+        if prefix_cache is not None:
+            raise ValueError(
+                "prefix caching supports dense-causal configs only"
+            )
         return _generate_cached_nsa(
             model, variables, prompt_ids, key, max_new_tokens, temperature,
             top_k, top_p, eos_id, pad_id,
         )
     b, p = prompt_ids.shape
 
-    # Materialize cache shapes (init-time creation; values unused).
-    cache = model.init(
-        jax.random.PRNGKey(0), prompt_ids, None, True, True
-    )["cache"]
+    if prefix_cache is not None:
+        # continue from the shared prefix, tiled across the request batch
+        cache = tile_prefix_cache(prefix_cache, b)
+    else:
+        # Materialize cache shapes (init-time creation; values unused).
+        cache = model.init(
+            jax.random.PRNGKey(0), prompt_ids, None, True, True
+        )["cache"]
     model_vars = {
         "params": variables["params"],
         "stats_buffer": variables.get("stats_buffer", {}),
@@ -434,6 +502,7 @@ def generate_ragged(
     top_p: Optional[float] = None,
     eos_id: Optional[int] = None,
     pad_id: int = 0,
+    prefix_cache=None,
 ) -> jnp.ndarray:
     """Ragged-batch KV-cache sampling: mixed-length prompts, ONE program.
 
@@ -457,6 +526,11 @@ def generate_ragged(
     (prompt then continuation; positions past EOS are ``pad_id``).
     Returns (B, P_max + max_new_tokens); the slack region between a
     row's end and the buffer end is ``pad_id``.
+
+    ``prefix_cache`` (optional): a shared-prefix cache from
+    ``prefill_prefix``, tiled across the batch here — every row's prompt
+    is then a SUFFIX prefilled (and decoded) at the prefix's position
+    offset. The output buffer still holds suffix + continuation only.
     """
     if model.config.use_sparse_attention:
         raise ValueError(
@@ -471,9 +545,14 @@ def generate_ragged(
         "stats_buffer": variables.get("stats_buffer", {}),
     }
 
-    cache = model.init(
-        jax.random.PRNGKey(0), prompt_ids, None, True, True
-    )["cache"]
+    if prefix_cache is not None:
+        prefix_len = prefix_length(prefix_cache)  # traced scalar
+        cache = tile_prefix_cache(prefix_cache, b)
+    else:
+        prefix_len = jnp.array(0, jnp.int32)
+        cache = model.init(
+            jax.random.PRNGKey(0), prompt_ids, None, True, True
+        )["cache"]
     # Prefill over the whole padded buffer (pads included; see above).
     (logits, _), updated = model.apply(
         {**model_vars, "cache": cache},
@@ -502,14 +581,15 @@ def generate_ragged(
 
     def step(carry, t):
         ids, cache, token, key, done = carry
-        positions = prompt_lens + t  # where the fed token sits, per row
+        local = prompt_lens + t  # the fed token's slot in the OUTPUT row
+        # its cache/embedding position includes the shared prefix
         (logits, _), updated = model.apply(
             {**model_vars, "cache": cache},
             token[:, None],
             None,
             True,
             True,
-            positions,
+            prefix_len + local,
             mutable=["cache", "stats_buffer"],
         )
         key, sample_key = jax.random.split(key)
@@ -520,7 +600,7 @@ def generate_ragged(
         nxt = jnp.where(done, pad_id, nxt)
         if eos_id is not None:
             done = done | (nxt == eos_id)
-        ids = ids.at[bidx, positions + 1].set(nxt)
+        ids = ids.at[bidx, local + 1].set(nxt)
         return (ids, updated["cache"], nxt, key, done), None
 
     (ids, _, _, _, _), _ = jax.lax.scan(

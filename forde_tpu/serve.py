@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="text prompt (needs the gpt2 tokenizer cache)")
     p.add_argument("--prompt_ids", type=str, default=None,
                    help="comma-separated token ids; bypasses the tokenizer")
+    p.add_argument("--prefix_ids", type=str, default=None,
+                   help="shared prompt prefix (comma-separated token ids; "
+                        "e.g. a system prompt): prefilled ONCE and reused "
+                        "by every prompt this invocation decodes — "
+                        "outputs contain prompt + continuation only. "
+                        "Dense configs; not with --beam_size/"
+                        "--draft_checkpoint_dir")
     p.add_argument("--prompts_file", type=str, default=None,
                    help="batch serving: one prompt per line (comma-"
                         "separated token ids, or text with --text_prompts)."
@@ -219,6 +226,24 @@ def main(argv: Optional[list] = None) -> None:
 
     config, model, variables = load_serving_model(args)
 
+    prefix_cache, prefix_len = None, 0
+    if args.prefix_ids:
+        from forde_tpu.models.generate import prefill_prefix
+
+        if config.use_sparse_attention:
+            sys.exit("--prefix_ids requires a dense-causal config (NSA "
+                     "streaming caches depend on what follows the prefix)")
+        if args.beam_size > 1 or args.draft_checkpoint_dir:
+            sys.exit("--prefix_ids composes with greedy/sampled cached "
+                     "decode only")
+        prefix = [int(t) for t in args.prefix_ids.split(",")]
+        prefix_len = len(prefix)
+        prefix_cache = prefill_prefix(
+            model, variables, jnp.asarray([prefix], jnp.int32)
+        )
+        print(f"[serve] shared prefix prefilled once ({prefix_len} tokens); "
+              "outputs hold prompt + continuation only")
+
     tok = None
     ids = None
     if args.prompts_file:
@@ -236,9 +261,13 @@ def main(argv: Optional[list] = None) -> None:
         ids = np.array([[0]], np.int32)
         print("[serve] no prompt given; starting from token 0")
     if ids is not None:
-        assert ids.shape[1] + args.max_new_tokens <= config.max_seq_len, (
-            "prompt + max_new_tokens exceeds max_seq_len "
-            f"({ids.shape[1]} + {args.max_new_tokens} > {config.max_seq_len})"
+        assert (
+            prefix_len + ids.shape[1] + args.max_new_tokens
+            <= config.max_seq_len
+        ), (
+            "prefix + prompt + max_new_tokens exceeds max_seq_len "
+            f"({prefix_len} + {ids.shape[1]} + {args.max_new_tokens} > "
+            f"{config.max_seq_len})"
         )
 
     if args.prompts_file:
@@ -264,9 +293,13 @@ def main(argv: Optional[list] = None) -> None:
         else:
             prompts = [[int(t) for t in ln.split(",")] for ln in lines]
         for i, pr in enumerate(prompts):
-            assert len(pr) + args.max_new_tokens <= config.max_seq_len, (
-                f"prompt {i}: {len(pr)} + {args.max_new_tokens} tokens "
-                f"exceeds max_seq_len {config.max_seq_len}"
+            assert (
+                prefix_len + len(pr) + args.max_new_tokens
+                <= config.max_seq_len
+            ), (
+                f"prompt {i}: {prefix_len} (prefix) + {len(pr)} + "
+                f"{args.max_new_tokens} tokens exceeds max_seq_len "
+                f"{config.max_seq_len}"
             )
         results = [None] * len(prompts)
         key = jax.random.PRNGKey(args.seed)
@@ -283,6 +316,7 @@ def main(argv: Optional[list] = None) -> None:
                 key, max_new_tokens=args.max_new_tokens,
                 temperature=args.temperature, top_k=args.top_k,
                 top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
+                prefix_cache=prefix_cache,
             ))
             for i, ln in enumerate(lens):
                 results[i] = out[i, : int(ln) + args.max_new_tokens].tolist()
@@ -363,6 +397,7 @@ def main(argv: Optional[list] = None) -> None:
             max_new_tokens=args.max_new_tokens, temperature=args.temperature,
             top_k=args.top_k, top_p=args.top_p,
             eos_id=args.eos_id, pad_id=args.pad_id,
+            prefix_cache=prefix_cache,
         )
     out = np.asarray(out)[0]
     print("token ids:", out.tolist())

@@ -39,6 +39,17 @@ granularity (``models/decode_pool.DecodePool``) — no batch boundaries,
 short requests finish early, and a freed slot is refilled on the next
 scheduler tick. Per-request ``max_new_tokens`` then bounds the actual
 decode work, not just the trim.
+
+``--prefix_ids`` (dense configs) installs a SYSTEM PREFIX: prefilled
+once at startup (``models/generate.prefill_prefix``), its K/V reused by
+every request — requests send and receive only their own prompt +
+continuation. Works in both batch modes (ragged ``prefix_cache`` /
+pool ``register_prefix``).
+
+``{"stream": true}`` in a /generate body (continuous mode only) switches
+the response to server-sent events: one ``data: {"token": t}`` event per
+sampled token as the pool emits it, then a final
+``data: {"output_ids": [...], "done": true}`` event.
 """
 
 from __future__ import annotations
@@ -65,6 +76,23 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _server_prefix(model, variables, args):
+    """--prefix_ids as a SERVER-level system prompt: prefilled once at
+    startup, reused by every request (models/generate.prefill_prefix).
+    Returns (prefix_cache | None, prefix_len)."""
+    if not getattr(args, "prefix_ids", None):
+        return None, 0
+    from forde_tpu.models.generate import prefill_prefix
+
+    prefix = [int(t) for t in args.prefix_ids.split(",")]
+    cache = prefill_prefix(
+        model, variables, jnp.asarray([prefix], jnp.int32)
+    )
+    print(f"[serve_http] system prefix prefilled once "
+          f"({len(prefix)} tokens)")
+    return cache, len(prefix)
+
+
 @dataclass
 class _Pending:
     prompt: list
@@ -73,6 +101,9 @@ class _Pending:
     output: Optional[list] = None
     error: Optional[str] = None
     batch_rows: int = 0
+    # SSE streaming (continuous mode): tokens land here as they are
+    # sampled; None is the end-of-stream sentinel
+    stream: Optional["queue.Queue"] = None
 
 
 class Batcher:
@@ -84,6 +115,9 @@ class Batcher:
         self.model = model
         self.variables = variables
         self.args = args
+        self.prefix_cache, self.prefix_len = _server_prefix(
+            model, variables, args
+        )
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {
             "requests": 0,
@@ -164,7 +198,7 @@ class Batcher:
         # compile set; pad rows repeat row 0 and are discarded
         pmax = min(
             _next_pow2(int(lens.max())),
-            config.max_seq_len - args.max_new_tokens,
+            config.max_seq_len - args.max_new_tokens - self.prefix_len,
         )
         rows = _next_pow2(len(batch))
         with self._lock:
@@ -184,6 +218,7 @@ class Batcher:
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature, top_k=args.top_k,
             top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
+            prefix_cache=self.prefix_cache,
         ))
         for i, r in enumerate(batch):
             r.output = out[i, : len(r.prompt) + r.max_new].tolist()
@@ -233,6 +268,13 @@ class ContinuousBatcher:
             temperature=args.temperature, top_k=args.top_k,
             top_p=args.top_p, seed=args.seed,
         )
+        self._prefix_id, self.prefix_len = None, 0
+        if getattr(args, "prefix_ids", None):
+            prefix = [int(t) for t in args.prefix_ids.split(",")]
+            self._prefix_id = self.pool.register_prefix(prefix)
+            self.prefix_len = len(prefix)
+            print(f"[serve_http] system prefix registered with the pool "
+                  f"({self.prefix_len} tokens)")
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self._inflight = {}
         self.stats = {
@@ -254,13 +296,27 @@ class ContinuousBatcher:
         req.done.wait()
         return req
 
+    def submit_stream(self, prompt: list, max_new: int) -> _Pending:
+        """Non-blocking submit for SSE: tokens arrive on ``req.stream``
+        as they are sampled (None = end of stream; ``req.output`` /
+        ``req.error`` are final once the sentinel lands)."""
+        req = _Pending(prompt=prompt, max_new=max_new, stream=queue.Queue())
+        with self._lock:
+            self.stats["requests"] += 1
+        self.queue.put(req)
+        return req
+
     def stop(self):
         self._running = False
         self._worker.join(timeout=5)
 
     def _admit(self, req: _Pending):
+        on_token = None
+        if req.stream is not None:
+            on_token = lambda rid, tok, q=req.stream: q.put(tok)  # noqa: E731
         rid = self.pool.submit(
-            req.prompt, req.max_new, eos_id=self.args.eos_id
+            req.prompt, req.max_new, eos_id=self.args.eos_id,
+            prefix_id=self._prefix_id, on_token=on_token,
         )
         self._inflight[rid] = req
 
@@ -288,6 +344,8 @@ class ContinuousBatcher:
                             self.stats["tokens_generated"] += (
                                 len(out) - len(req.prompt)
                             )
+                        if req.stream is not None:
+                            req.stream.put(None)  # end-of-stream sentinel
                         req.done.set()
                 else:
                     try:
@@ -300,6 +358,8 @@ class ContinuousBatcher:
                 err = f"{type(e).__name__}: {e}"
                 for req in self._inflight.values():
                     req.error = err
+                    if req.stream is not None:
+                        req.stream.put(None)
                     req.done.set()
                 self._inflight.clear()
                 self.pool = DecodePool(
@@ -308,6 +368,11 @@ class ContinuousBatcher:
                     top_k=self.args.top_k, top_p=self.args.top_p,
                     seed=self.args.seed,
                 )
+                if self._prefix_id is not None:
+                    prefix = [
+                        int(t) for t in self.args.prefix_ids.split(",")
+                    ]
+                    self._prefix_id = self.pool.register_prefix(prefix)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -337,6 +402,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "nsa": cfg.use_sparse_attention,
                 "max_seq_len": cfg.max_seq_len,
                 "max_new_tokens": b.args.max_new_tokens,
+                "system_prefix_len": b.prefix_len,
             })
         elif self.path == "/stats":
             with b._lock:
@@ -366,14 +432,25 @@ class _Handler(BaseHTTPRequestHandler):
                     f"max_new_tokens must be in [1, {b.args.max_new_tokens}] "
                     "(the server's compiled maximum)"
                 )
-            limit = b.config.max_seq_len - b.args.max_new_tokens
+            limit = (
+                b.config.max_seq_len - b.args.max_new_tokens - b.prefix_len
+            )
             if len(prompt) > limit:
                 raise ValueError(
                     f"prompt length {len(prompt)} > {limit} "
-                    "(max_seq_len - server max_new_tokens)"
+                    "(max_seq_len - server max_new_tokens - system prefix)"
+                )
+            stream = bool(req.get("stream", False))
+            if stream and not hasattr(b, "submit_stream"):
+                raise ValueError(
+                    "streaming requires the server to run with --continuous "
+                    "(token-granular decoding)"
                 )
         except (ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
+            return
+        if stream:
+            self._stream(b, prompt, max_new)
             return
         res = b.submit(prompt, max_new)
         if res.error is not None:
@@ -384,6 +461,39 @@ class _Handler(BaseHTTPRequestHandler):
                 "prompt_len": len(prompt),
                 "batch_rows": res.batch_rows,
             })
+
+    def _stream(self, b, prompt, max_new):
+        """Server-sent events: one ``data: {"token": t}`` event per
+        sampled token, then a final ``data: {"output_ids": ..., "done":
+        true}`` event. Tokens flush as the pool produces them."""
+        res = b.submit_stream(prompt, max_new)
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Connection", "close")
+        self.end_headers()
+        try:
+            while True:
+                tok = res.stream.get()
+                if tok is None:
+                    break
+                self.wfile.write(
+                    f"data: {json.dumps({'token': tok})}\n\n".encode()
+                )
+                self.wfile.flush()
+            res.done.wait()
+            if res.error is not None:
+                final = {"error": res.error, "done": True}
+            else:
+                final = {
+                    "output_ids": res.output,
+                    "prompt_len": len(prompt),
+                    "done": True,
+                }
+            self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
+            self.wfile.flush()
+        except BrokenPipeError:
+            pass  # client went away; the pool still finishes the row
 
 
 def add_server_args(p):
@@ -410,6 +520,9 @@ def make_server(args):
     if args.beam_size > 1 or args.draft_checkpoint_dir:
         raise SystemExit("serve_http composes with greedy/sampled cached "
                          "decode only")
+    if getattr(args, "prefix_ids", None) and config.use_sparse_attention:
+        raise SystemExit("--prefix_ids requires a dense-causal config "
+                         "(NSA caches depend on what follows the prefix)")
     if args.continuous:
         if config.use_sparse_attention:
             raise SystemExit("--continuous requires a dense-causal config "
