@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from forde_tpu.models.decoder_lm import FORDEDecoderLM
-from forde_tpu.models.generate import _sample
+from forde_tpu.models.generate import sample_rows
 
 
 def _next_pow2(n: int) -> int:
@@ -57,15 +57,12 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-@functools.partial(
-    jax.jit, static_argnames=("model", "temperature", "top_k", "top_p")
-)
-def _prefill_one(
-    model, variables, prompt, length, key, temperature, top_k, top_p
-):
+@functools.partial(jax.jit, static_argnames=("model",))
+def _prefill_one(model, variables, prompt, length, key, temp, topk, topp):
     """(1, P)-padded prompt -> (cache row stack, first sampled token).
 
-    One compile per pow2-bucketed P."""
+    One compile per pow2-bucketed P (sampling params are TRACED (1,)
+    vectors — per-request values share the executable)."""
     model_vars = {
         "params": variables["params"],
         "stats_buffer": variables.get("stats_buffer", {}),
@@ -80,16 +77,13 @@ def _prefill_one(
     last = jnp.take_along_axis(logits, (length - 1)[None, None, None], axis=1)[
         :, 0, :
     ].astype(jnp.float32)
-    token = _sample(last, key, temperature, top_k, top_p)[0]
+    token = sample_rows(last, key, temp, topk, topp)[0]
     return updated["cache"], token
 
 
-@functools.partial(
-    jax.jit, static_argnames=("model", "temperature", "top_k", "top_p")
-)
+@functools.partial(jax.jit, static_argnames=("model",))
 def _prefill_suffix(
-    model, variables, prefix_cache, suffix, length, key, temperature,
-    top_k, top_p,
+    model, variables, prefix_cache, suffix, length, key, temp, topk, topp
 ):
     """Continue a shared-prefix cache with a (1, S)-padded SUFFIX.
 
@@ -110,7 +104,7 @@ def _prefill_suffix(
     last = jnp.take_along_axis(logits, (length - 1)[None, None, None], axis=1)[
         :, 0, :
     ].astype(jnp.float32)
-    token = _sample(last, key, temperature, top_k, top_p)[0]
+    token = sample_rows(last, key, temp, topk, topp)[0]
     return updated["cache"], token
 
 
@@ -142,15 +136,17 @@ def _insert_row(pool_cache, row_cache, slot):
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("model", "temperature", "top_k", "top_p"),
-    donate_argnums=(2,),
+    jax.jit, static_argnames=("model",), donate_argnums=(2,)
 )
 def _step_pool(
-    model, variables, cache, tokens, positions, key, temperature, top_k,
-    top_p,
+    model, variables, cache, tokens, positions, key, temps, topks, topps
 ):
-    """Advance every pool row one token at its own position."""
+    """Advance every pool row one token at its own position.
+
+    Sampling params are TRACED per-row vectors (``sample_rows``): mixed
+    greedy/sampled/filtered requests share the executable. ``topks`` /
+    ``topps`` may be None (the no-filter program skips the vocab sort) —
+    the scheduler picks per tick, so at most TWO step programs exist."""
     model_vars = {
         "params": variables["params"],
         "stats_buffer": variables.get("stats_buffer", {}),
@@ -160,8 +156,8 @@ def _step_pool(
         {**model_vars, "cache": cache}, tokens[:, None], None, True, True,
         safe_pos, mutable=["cache", "stats_buffer"],
     )
-    nxt = _sample(
-        logits[:, 0, :].astype(jnp.float32), key, temperature, top_k, top_p
+    nxt = sample_rows(
+        logits[:, 0, :].astype(jnp.float32), key, temps, topks, topps
     )
     return updated["cache"], nxt
 
@@ -199,7 +195,16 @@ class DecodePool:
         self.model = model
         self.variables = variables
         self.rows = rows
-        self.sampling = (temperature, top_k, top_p)
+        # pool-level DEFAULTS; submit() may override per request
+        self.default_sampling = (
+            float(temperature),
+            0 if top_k is None else int(top_k),
+            1.0 if top_p is None else float(top_p),
+        )
+        # per-slot sampling state (traced into the step program)
+        self.temps = np.zeros((rows,), np.float32)
+        self.topks = np.zeros((rows,), np.int32)
+        self.topps = np.ones((rows,), np.float32)
         self.min_prefill_bucket = min_prefill_bucket
         self._key = jax.random.PRNGKey(seed)
         self._steps = 0
@@ -238,7 +243,7 @@ class DecodePool:
 
     def submit(
         self, prompt_ids, max_new_tokens, eos_id=None, prefix_id=None,
-        on_token=None,
+        on_token=None, temperature=None, top_k=None, top_p=None,
     ) -> int:
         """Queue a request; returns its id (reported back by tick()).
 
@@ -246,7 +251,10 @@ class DecodePool:
         output still holds prompt + continuation only (the prefix belongs
         to the server). ``on_token``: host callback ``f(request_id,
         token)`` fired for every generated token as it is sampled (the
-        streaming surface; serve_http SSE rides on it)."""
+        streaming surface; serve_http SSE rides on it).
+        ``temperature``/``top_k``/``top_p``: PER-REQUEST sampling (None =
+        the pool default). Traced per-row into the step program, so mixed
+        settings cost zero extra compiles."""
         prompt_ids = list(map(int, prompt_ids))
         assert prompt_ids, "empty prompt"
         plen = self._prefixes[prefix_id][1] if prefix_id is not None else 0
@@ -255,11 +263,15 @@ class DecodePool:
             f"prefix {plen} + prompt {len(prompt_ids)} + {max_new_tokens} "
             f"> max_seq_len {limit}"
         )
+        d_temp, d_topk, d_topp = self.default_sampling
         rid = self._next_id
         self._next_id += 1
         self.queue.append({
             "id": rid, "prompt": prompt_ids, "max_new": max_new_tokens,
             "eos": eos_id, "prefix": prefix_id, "cb": on_token,
+            "temp": d_temp if temperature is None else float(temperature),
+            "topk": d_topk if top_k is None else int(top_k),
+            "topp": d_topp if top_p is None else float(top_p),
         })
         return rid
 
@@ -291,24 +303,32 @@ class DecodePool:
             padded = np.zeros((1, bucket), np.int32)
             padded[0, : len(p)] = p
             self._key, k = jax.random.split(self._key)
+            sampling = (
+                jnp.full((1,), req["temp"], jnp.float32),
+                jnp.full((1,), req["topk"], jnp.int32),
+                jnp.full((1,), req["topp"], jnp.float32),
+            )
             if req["prefix"] is not None:
                 prefix_cache, plen = self._prefixes[req["prefix"]]
                 row_cache, token = _prefill_suffix(
                     self.model, self.variables, prefix_cache,
                     jnp.asarray(padded), jnp.asarray(len(p), jnp.int32), k,
-                    *self.sampling,
+                    *sampling,
                 )
             else:
                 plen = 0
                 row_cache, token = _prefill_one(
                     self.model, self.variables, jnp.asarray(padded),
-                    jnp.asarray(len(p), jnp.int32), k, *self.sampling,
+                    jnp.asarray(len(p), jnp.int32), k, *sampling,
                 )
             self.cache = _insert_row(
                 self.cache, row_cache, jnp.asarray(slot, jnp.int32)
             )
             self.tokens = self.tokens.at[slot].set(token)
             self.positions[slot] = plen + len(p)
+            self.temps[slot] = req["temp"]
+            self.topks[slot] = req["topk"]
+            self.topps[slot] = req["topp"]
             self.active[slot] = True
             req["out"] = list(p) + [int(token)]
             req["left"] = req["max_new"] - 1
@@ -320,6 +340,11 @@ class DecodePool:
         req = self._slot_req[slot]
         self.active[slot] = False
         self._slot_req[slot] = None
+        # reset sampling state so a parked slot never forces the
+        # filtered step program on everyone else
+        self.temps[slot] = 0.0
+        self.topks[slot] = 0
+        self.topps[slot] = 1.0
         return req["id"], req["out"]
 
     def tick(self):
@@ -339,9 +364,15 @@ class DecodePool:
 
         self.last_step_rows = int(self.active.sum())
         self._key, k = jax.random.split(self._key)
+        # the no-filter program skips the vocab sort; pick it whenever no
+        # active row asked for top-k/top-p (two step programs at most)
+        filtered = bool(((self.topks > 0) | (self.topps < 1.0)).any())
         self.cache, nxt = _step_pool(
             self.model, self.variables, self.cache, self.tokens,
-            jnp.asarray(self.positions, jnp.int32), k, *self.sampling,
+            jnp.asarray(self.positions, jnp.int32), k,
+            jnp.asarray(self.temps),
+            jnp.asarray(self.topks) if filtered else None,
+            jnp.asarray(self.topps) if filtered else None,
         )
         self.tokens = nxt
         self._steps += 1

@@ -114,6 +114,44 @@ def _sample(next_logits, sample_key, temperature, top_k, top_p=None):
     )
 
 
+def sample_rows(next_logits, sample_key, temps, top_ks=None, top_ps=None):
+    """Per-ROW sampling with TRACED parameters — the continuous-pool
+    sampler. ``temps`` (B,) float (0 = greedy), ``top_ks`` (B,) int32
+    (0 = off), ``top_ps`` (B,) float (1.0 = off). Because every
+    parameter is a traced tensor, requests with different sampling
+    settings share one compiled step program (no per-request recompiles).
+
+    Matches ``_sample``/``_filter_logits`` exactly for uniform rows: the
+    top-k threshold is the k-th largest (ties kept, like the static
+    path), and top-p renormalizes over the top-k-masked logits. One
+    descending sort per call — the price the static top-p path already
+    pays.
+    """
+    greedy = jnp.argmax(next_logits, axis=-1)
+    scaled = next_logits / jnp.maximum(temps, 1e-6)[:, None]
+    if top_ks is not None or top_ps is not None:
+        v = scaled.shape[-1]
+        sorted_desc = -jnp.sort(-scaled, axis=-1)
+        if top_ks is not None:
+            kidx = jnp.clip(top_ks - 1, 0, v - 1)
+            kth = jnp.take_along_axis(sorted_desc, kidx[:, None], axis=-1)
+            kth = jnp.where(top_ks[:, None] > 0, kth, -jnp.inf)
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            # masking only truncates the tail, so the descending order
+            # is preserved — no second sort
+            sorted_desc = jnp.where(sorted_desc < kth, -jnp.inf, sorted_desc)
+        if top_ps is not None:
+            probs = jax.nn.softmax(sorted_desc, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = cum - probs < top_ps[:, None]
+            threshold = jnp.min(
+                jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+            )
+            scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
+    sampled = jax.random.categorical(sample_key, scaled, axis=-1)
+    return jnp.where(temps == 0.0, greedy, sampled)
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def prefill_prefix(model: FORDEDecoderLM, variables, prefix_ids: jnp.ndarray):
     """Build a REUSABLE KV cache for a shared prompt prefix (1, L).

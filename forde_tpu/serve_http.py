@@ -28,8 +28,11 @@ distinct prompt lengths; dense configs are the recommended online
 targets, as in ``serve --prompts_file``).
 
 Sampling parameters (temperature/top-k/top-p/eos) are server-level
-flags: they are compile-time constants of the decode program, so
-per-request values would defeat the shape bucketing. Per-request
+flags in BATCH mode: they are compile-time constants of the decode
+program, so per-request values would defeat the shape bucketing. In
+``--continuous`` mode the pool traces them PER ROW
+(``models/generate.sample_rows``), so requests may carry their own
+``temperature``/``top_k``/``top_p`` at zero recompile cost. Per-request
 ``max_new_tokens`` (<= the server's ``--max_new_tokens``) is honored
 by trimming: the program always runs the server maximum.
 
@@ -104,6 +107,11 @@ class _Pending:
     # SSE streaming (continuous mode): tokens land here as they are
     # sampled; None is the end-of-stream sentinel
     stream: Optional["queue.Queue"] = None
+    # per-request sampling overrides (continuous mode only — the pool
+    # traces them per row, so they cost no recompiles; None = server flag)
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
 
 
 class Batcher:
@@ -288,19 +296,21 @@ class ContinuousBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, prompt: list, max_new: int) -> _Pending:
-        req = _Pending(prompt=prompt, max_new=max_new)
+    def submit(self, prompt: list, max_new: int, **sampling) -> _Pending:
+        req = _Pending(prompt=prompt, max_new=max_new, **sampling)
         with self._lock:
             self.stats["requests"] += 1
         self.queue.put(req)
         req.done.wait()
         return req
 
-    def submit_stream(self, prompt: list, max_new: int) -> _Pending:
+    def submit_stream(self, prompt: list, max_new: int, **sampling) -> _Pending:
         """Non-blocking submit for SSE: tokens arrive on ``req.stream``
         as they are sampled (None = end of stream; ``req.output`` /
         ``req.error`` are final once the sentinel lands)."""
-        req = _Pending(prompt=prompt, max_new=max_new, stream=queue.Queue())
+        req = _Pending(
+            prompt=prompt, max_new=max_new, stream=queue.Queue(), **sampling
+        )
         with self._lock:
             self.stats["requests"] += 1
         self.queue.put(req)
@@ -317,6 +327,7 @@ class ContinuousBatcher:
         rid = self.pool.submit(
             req.prompt, req.max_new, eos_id=self.args.eos_id,
             prefix_id=self._prefix_id, on_token=on_token,
+            temperature=req.temperature, top_k=req.top_k, top_p=req.top_p,
         )
         self._inflight[rid] = req
 
@@ -446,13 +457,32 @@ class _Handler(BaseHTTPRequestHandler):
                     "streaming requires the server to run with --continuous "
                     "(token-granular decoding)"
                 )
+            sampling = {}
+            for name, cast in (
+                ("temperature", float), ("top_k", int), ("top_p", float),
+            ):
+                if req.get(name) is not None:
+                    sampling[name] = cast(req[name])
+            if sampling and not hasattr(b, "submit_stream"):
+                raise ValueError(
+                    "per-request sampling parameters require --continuous "
+                    "(batch mode compiles server-level sampling constants)"
+                )
+            if sampling.get("top_p") is not None and not (
+                0.0 < sampling["top_p"] <= 1.0
+            ):
+                raise ValueError("top_p must be in (0, 1]")
+            if sampling.get("temperature", 1.0) < 0:
+                raise ValueError("temperature must be >= 0")
+            if sampling.get("top_k", 0) < 0:
+                raise ValueError("top_k must be >= 0")
         except (ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
         if stream:
-            self._stream(b, prompt, max_new)
+            self._stream(b, prompt, max_new, sampling)
             return
-        res = b.submit(prompt, max_new)
+        res = b.submit(prompt, max_new, **sampling)
         if res.error is not None:
             self._send(500, {"error": res.error})
         else:
@@ -462,11 +492,11 @@ class _Handler(BaseHTTPRequestHandler):
                 "batch_rows": res.batch_rows,
             })
 
-    def _stream(self, b, prompt, max_new):
+    def _stream(self, b, prompt, max_new, sampling):
         """Server-sent events: one ``data: {"token": t}`` event per
         sampled token, then a final ``data: {"output_ids": ..., "done":
         true}`` event. Tokens flush as the pool produces them."""
-        res = b.submit_stream(prompt, max_new)
+        res = b.submit_stream(prompt, max_new, **sampling)
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")
