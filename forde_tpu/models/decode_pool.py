@@ -275,6 +275,27 @@ class DecodePool:
         })
         return rid
 
+    def cancel(self, request_id: int) -> bool:
+        """Abandon a request (client went away): drop it from the queue,
+        or free its slot immediately — the slot refills on the next tick
+        (its stale cache row is fully replaced by the next insert).
+        Returns whether the request was found. A cancelled request is
+        never reported by tick(). Call from the scheduler thread (the
+        same one driving tick())."""
+        for i, req in enumerate(self.queue):
+            if req["id"] == request_id:
+                del self.queue[i]
+                return True
+        for slot in range(self.rows):
+            req = self._slot_req[slot]
+            if req is not None and req["id"] == request_id:
+                self._finish(slot)
+                return True
+        return False
+
+    def prefix_len(self, prefix_id: int) -> int:
+        return self._prefixes[prefix_id][1]
+
     def pending(self) -> bool:
         return bool(self.queue) or bool(self.active.any())
 

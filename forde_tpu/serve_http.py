@@ -47,7 +47,14 @@ decode work, not just the trim.
 once at startup (``models/generate.prefill_prefix``), its K/V reused by
 every request — requests send and receive only their own prompt +
 continuation. Works in both batch modes (ragged ``prefix_cache`` /
-pool ``register_prefix``).
+pool ``register_prefix``). In continuous mode prefixes can also be
+registered AT RUNTIME: ``POST /prefix {"prefix_ids": [...]}`` returns a
+``prefix_id`` later /generate bodies reference — one prefill forward
+per distinct prefix, however many requests share it.
+
+Disconnected clients don't waste decode work: an SSE consumer that
+drops mid-stream has its pool slot freed on the next scheduler tick
+(``DecodePool.cancel``).
 
 ``{"stream": true}`` in a /generate body (continuous mode only) switches
 the response to server-sent events: one ``data: {"token": t}`` event per
@@ -112,6 +119,12 @@ class _Pending:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    # per-request prefix (continuous mode): id from POST /prefix;
+    # None = the server-level --prefix_ids prefix (if any)
+    prefix_id: Optional[int] = None
+    # cancellation (continuous mode): set when the client disconnects
+    rid: Optional[int] = None  # pool request id once admitted
+    cancelled: bool = False
 
 
 class Batcher:
@@ -284,6 +297,7 @@ class ContinuousBatcher:
             print(f"[serve_http] system prefix registered with the pool "
                   f"({self.prefix_len} tokens)")
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._cancel_q: "queue.Queue[_Pending]" = queue.Queue()
         self._inflight = {}
         self.stats = {
             "requests": 0,
@@ -320,20 +334,61 @@ class ContinuousBatcher:
         self._running = False
         self._worker.join(timeout=5)
 
+    def register_prefix(self, prefix_ids: list) -> tuple:
+        """Runtime prefix registration (POST /prefix): one prefill
+        forward now, reusable by any later request via ``prefix_id``.
+        Returns (prefix_id, prefix_len). Append-only pool state — safe
+        from handler threads."""
+        pid = self.pool.register_prefix(prefix_ids)
+        return pid, len(prefix_ids)
+
+    def prefix_len_for(self, prefix_id: Optional[int]) -> int:
+        if prefix_id is None:
+            return self.prefix_len
+        return self.pool.prefix_len(prefix_id)
+
+    def cancel(self, req: _Pending):
+        """Client went away: route the cancellation to the worker thread
+        (the only thread allowed to mutate pool scheduling state)."""
+        self._cancel_q.put(req)
+
     def _admit(self, req: _Pending):
+        if req.cancelled:
+            req.done.set()
+            return
         on_token = None
         if req.stream is not None:
             on_token = lambda rid, tok, q=req.stream: q.put(tok)  # noqa: E731
         rid = self.pool.submit(
             req.prompt, req.max_new, eos_id=self.args.eos_id,
-            prefix_id=self._prefix_id, on_token=on_token,
+            prefix_id=(
+                req.prefix_id if req.prefix_id is not None
+                else self._prefix_id
+            ),
+            on_token=on_token,
             temperature=req.temperature, top_k=req.top_k, top_p=req.top_p,
         )
+        req.rid = rid
         self._inflight[rid] = req
+
+    def _drain_cancels(self):
+        while True:
+            try:
+                req = self._cancel_q.get_nowait()
+            except queue.Empty:
+                return
+            req.cancelled = True  # _admit will skip it if still queued
+            if req.rid is not None and req.rid in self._inflight:
+                self.pool.cancel(req.rid)
+                self._inflight.pop(req.rid)
+                if req.stream is not None:
+                    req.stream.put(None)
+                req.done.set()
 
     def _run(self):
         while self._running:
             try:
+                self._drain_cancels()
                 if self.pool.pending():
                     while True:
                         try:
@@ -422,6 +477,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": "unknown path"})
 
     def do_POST(self):
+        if self.path == "/prefix":
+            self._register_prefix()
+            return
         if self.path != "/generate":
             self._send(404, {"error": "unknown path"})
             return
@@ -443,13 +501,23 @@ class _Handler(BaseHTTPRequestHandler):
                     f"max_new_tokens must be in [1, {b.args.max_new_tokens}] "
                     "(the server's compiled maximum)"
                 )
-            limit = (
-                b.config.max_seq_len - b.args.max_new_tokens - b.prefix_len
-            )
+            prefix_id = req.get("prefix_id")
+            if prefix_id is not None:
+                if not hasattr(b, "register_prefix"):
+                    raise ValueError("prefix_id requires --continuous")
+                prefix_id = int(prefix_id)
+                try:
+                    plen = b.prefix_len_for(prefix_id)
+                except IndexError:
+                    raise ValueError(f"unknown prefix_id {prefix_id} "
+                                     "(register via POST /prefix)")
+            else:
+                plen = b.prefix_len
+            limit = b.config.max_seq_len - b.args.max_new_tokens - plen
             if len(prompt) > limit:
                 raise ValueError(
                     f"prompt length {len(prompt)} > {limit} "
-                    "(max_seq_len - server max_new_tokens - system prefix)"
+                    "(max_seq_len - server max_new_tokens - prefix)"
                 )
             stream = bool(req.get("stream", False))
             if stream and not hasattr(b, "submit_stream"):
@@ -479,6 +547,8 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
+        if prefix_id is not None:
+            sampling["prefix_id"] = prefix_id
         if stream:
             self._stream(b, prompt, max_new, sampling)
             return
@@ -522,8 +592,38 @@ class _Handler(BaseHTTPRequestHandler):
                 }
             self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
             self.wfile.flush()
-        except BrokenPipeError:
-            pass  # client went away; the pool still finishes the row
+        except (BrokenPipeError, ConnectionResetError):
+            # client went away mid-stream: free the decode slot instead
+            # of finishing a row nobody will read
+            if hasattr(b, "cancel"):
+                b.cancel(res)
+
+    def _register_prefix(self):
+        """POST /prefix {"prefix_ids": [...]} -> {"prefix_id", "prefix_len"}:
+        runtime shared-prefix registration (continuous mode). One prefill
+        forward now; later /generate bodies pass ``prefix_id``."""
+        b = self.batcher
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            prefix = req.get("prefix_ids")
+            if (
+                not isinstance(prefix, list)
+                or not prefix
+                or not all(isinstance(t, int) and t >= 0 for t in prefix)
+            ):
+                raise ValueError("prefix_ids must be a non-empty list of "
+                                 "non-negative ints")
+            if not hasattr(b, "register_prefix"):
+                raise ValueError("prefix registration requires --continuous")
+            limit = b.config.max_seq_len - b.args.max_new_tokens - 1
+            if len(prefix) > limit:
+                raise ValueError(f"prefix length {len(prefix)} > {limit}")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send(400, {"error": str(e)})
+            return
+        pid, plen = b.register_prefix(prefix)
+        self._send(200, {"prefix_id": pid, "prefix_len": plen})
 
 
 def add_server_args(p):
