@@ -55,6 +55,20 @@ def load_model_config(directory: str):
     return None if d is None else config_from_dict(d["model"])
 
 
+def _optimizer_meta(meta: dict) -> dict:
+    """Everything in the train meta that shapes the OPTIMIZER state tree
+    (restore must rebuild an identical one): moment dtype, and the LR
+    schedule (warmup or cosine swaps the stateless LR scale for a
+    ScaleByScheduleState)."""
+    return dict(
+        warmup_steps=int(meta.get("warmup_steps", 0) or 0),
+        moment_dtype=meta.get("moment_dtype"),
+        lr_schedule=meta.get("lr_schedule") or "constant",
+        decay_steps=int(meta.get("decay_steps", 0) or 0),
+        min_lr_ratio=float(meta.get("min_lr_ratio", 0.0) or 0.0),
+    )
+
+
 def load_train_meta(directory: str) -> dict:
     d = _read_meta(directory)
     return (d or {}).get("train", {})
@@ -191,6 +205,7 @@ def load_lm_state(
     )
     config = config.replace(dropout_rate=0.0)
     meta = load_train_meta(checkpoint_dir)
+    opt_meta = _optimizer_meta(meta)
     lora_meta = meta.get("lora")
     if lora_meta:
         from forde_tpu.models.decoder_lm import FORDEDecoderLM
@@ -203,11 +218,7 @@ def load_lm_state(
             base_params, int(lora_meta["rank"]), jax.random.PRNGKey(0),
             targets=tuple(lora_meta["targets"]),
         )
-        tx = make_optimizer(
-            1e-4, 0.0,
-            warmup_steps=int(meta.get("warmup_steps", 0) or 0),
-            moment_dtype=meta.get("moment_dtype"),
-        )
+        tx = make_optimizer(1e-4, 0.0, **opt_meta)
         model = FORDEDecoderLM(config=config)
         state = TrainState.create(
             apply_fn=model.apply, params=adapters, tx=tx,
@@ -229,8 +240,7 @@ def load_lm_state(
     state = create_train_state(
         config, jax.random.PRNGKey(0), learning_rate=1e-4, weight_decay=0.0,
         init_batch_shape=(1, min(init_seq_len, config.max_seq_len)),
-        moment_dtype=meta.get("moment_dtype"),
-        warmup_steps=int(meta.get("warmup_steps", 0) or 0),
+        **opt_meta,
     )
     if float(meta.get("ema_decay", 0.0) or 0.0) > 0:
         from forde_tpu.train.ema import init_ema
@@ -262,9 +272,7 @@ def load_clip_state(checkpoint_dir: str):
     meta = load_train_meta(checkpoint_dir)
     state = create_clip_train_state(
         config, jax.random.PRNGKey(0), learning_rate=1e-4, weight_decay=0.0,
-        batch_size=1,
-        moment_dtype=meta.get("moment_dtype"),
-        warmup_steps=int(meta.get("warmup_steps", 0) or 0),
+        batch_size=1, **_optimizer_meta(meta),
     )
     if float(meta.get("ema_decay", 0.0) or 0.0) > 0:
         from forde_tpu.train.ema import init_ema

@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_steps", type=int, default=0,
                    help="linear LR warmup; escapes the uniform-softmax "
                         "saddle at practical contrastive peak LRs")
+    p.add_argument("--lr_schedule", choices=["constant", "cosine"],
+                   default="constant",
+                   help="post-warmup LR: constant, or cosine decay to "
+                        "min_lr_ratio*peak over --decay_steps")
+    p.add_argument("--decay_steps", type=int, default=0,
+                   help="cosine decay horizon (after warmup); 0 = derive "
+                        "from num_steps - warmup")
+    p.add_argument("--min_lr_ratio", type=float, default=0.0,
+                   help="cosine floor as a fraction of the peak LR")
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--tensor_parallelism", type=int, default=1,
                    help="size of the model mesh axis: Megatron "
@@ -148,11 +157,18 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
     t_init = time.perf_counter()
+    if args.lr_schedule == "cosine" and args.decay_steps == 0:
+        args.decay_steps = max(args.num_steps - args.warmup_steps, 1)
+        print(f"cosine decay over {args.decay_steps} steps "
+              f"(derived from the run length)")
     state = create_clip_train_state(
         cfg, init_rng, args.learning_rate, args.weight_decay,
         batch_size=args.batch_size, text_len=args.text_len,
         warmup_steps=args.warmup_steps,
         moment_dtype=args.moment_dtype,
+        lr_schedule=args.lr_schedule,
+        decay_steps=args.decay_steps,
+        min_lr_ratio=args.min_lr_ratio,
     )
     from forde_tpu.train.state import shard_train_state
 
@@ -179,6 +195,9 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                 "moment_dtype": args.moment_dtype,
                 "warmup_steps": args.warmup_steps,
                 "ema_decay": args.ema_decay,
+                "lr_schedule": args.lr_schedule,
+                "decay_steps": args.decay_steps,
+                "min_lr_ratio": args.min_lr_ratio,
             },
         )
         if args.resume and manager.latest_step() is not None:

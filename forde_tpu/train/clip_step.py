@@ -50,6 +50,9 @@ def create_clip_train_state(
     grad_clip_norm: float = 1.0,
     warmup_steps: int = 0,
     moment_dtype: Optional[str] = None,
+    lr_schedule: str = "constant",
+    decay_steps: int = 0,
+    min_lr_ratio: float = 0.0,
 ) -> CLIPTrainState:
     """Initialize with REAL batch shapes: the gradient taps are shaped like
     the activations they tap, so init must see the training batch shape."""
@@ -71,7 +74,8 @@ def create_clip_train_state(
         params=variables["params"],
         tx=make_optimizer(
             learning_rate, weight_decay, grad_clip_norm, warmup_steps,
-            moment_dtype=moment_dtype,
+            moment_dtype=moment_dtype, lr_schedule=lr_schedule,
+            decay_steps=decay_steps, min_lr_ratio=min_lr_ratio,
         ),
         brain=variables.get("brain", core.FrozenDict()),
         stats_buffer=variables.get("stats_buffer", core.FrozenDict()),

@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=3e-4)
     p.add_argument("--warmup_steps", type=int, default=0,
                    help="linear LR warmup steps (0 = constant LR)")
+    p.add_argument("--lr_schedule", choices=["constant", "cosine"],
+                   default="constant",
+                   help="post-warmup LR: constant, or cosine decay to "
+                        "min_lr_ratio*peak over --decay_steps")
+    p.add_argument("--decay_steps", type=int, default=0,
+                   help="cosine decay horizon (after warmup); 0 = derive "
+                        "from steps_per_epoch*num_epochs - warmup")
+    p.add_argument("--min_lr_ratio", type=float, default=0.0,
+                   help="cosine floor as a fraction of the peak LR")
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--num_epochs", type=int, default=1)
     p.add_argument("--steps_per_epoch", type=int, default=1000)
@@ -323,6 +332,12 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
 
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
+    if args.lr_schedule == "cosine" and args.decay_steps == 0:
+        args.decay_steps = max(
+            args.steps_per_epoch * args.num_epochs - args.warmup_steps, 1
+        )
+        print(f"cosine decay over {args.decay_steps} steps "
+              f"(derived from the run length)")
     state = create_train_state(
         config,
         init_rng,
@@ -332,6 +347,9 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         mesh=model_mesh,
         warmup_steps=args.warmup_steps,
         moment_dtype=args.moment_dtype,
+        lr_schedule=args.lr_schedule,
+        decay_steps=args.decay_steps,
+        min_lr_ratio=args.min_lr_ratio,
     )
     base_params = None
     if args.init_from:
@@ -379,6 +397,11 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             "moment_dtype": args.moment_dtype,
             "warmup_steps": args.warmup_steps,
             "ema_decay": args.ema_decay,
+            # non-constant schedules make the LR scale stateful
+            # (ScaleByScheduleState) — restore must rebuild the same tree
+            "lr_schedule": args.lr_schedule,
+            "decay_steps": args.decay_steps,
+            "min_lr_ratio": args.min_lr_ratio,
         }
         if args.lora_rank:
             import os

@@ -38,12 +38,48 @@ class TrainState(train_state.TrainState):
     ema_params: Any = None
 
 
+def make_lr_schedule(
+    learning_rate: float,
+    warmup_steps: int = 0,
+    lr_schedule: str = "constant",
+    decay_steps: int = 0,
+    min_lr_ratio: float = 0.0,
+):
+    """LR as a function of step: linear warmup (0 -> peak over
+    ``warmup_steps``) into either a constant or a cosine decay
+    (peak -> ``min_lr_ratio``*peak over ``decay_steps``, counted AFTER
+    warmup; the tail holds at the floor). Returns a float when the whole
+    schedule is constant — optax then keeps the stateless scale, so
+    existing checkpoints' opt-state trees are unchanged."""
+    if lr_schedule not in ("constant", "cosine"):
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    if lr_schedule == "cosine":
+        if decay_steps <= 0:
+            raise ValueError("lr_schedule='cosine' needs decay_steps > 0")
+        tail = optax.cosine_decay_schedule(
+            learning_rate, decay_steps, alpha=min_lr_ratio
+        )
+    else:
+        tail = optax.constant_schedule(learning_rate)
+    if warmup_steps > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps), tail],
+            [warmup_steps],
+        )
+    if lr_schedule == "constant":
+        return learning_rate  # plain float: stateless LR scaling
+    return tail
+
+
 def make_optimizer(
     learning_rate: float,
     weight_decay: float,
     grad_clip_norm: float = 1.0,
     warmup_steps: int = 0,
     moment_dtype: Optional[str] = None,
+    lr_schedule: str = "constant",
+    decay_steps: int = 0,
+    min_lr_ratio: float = 0.0,
 ) -> optax.GradientTransformation:
     """clip_by_global_norm(1.0) -> adamw (reference train.py:74-77).
 
@@ -52,20 +88,20 @@ def make_optimizer(
     pinned at ln(B), grads ~1e-3) within the first ~50 steps at practical
     peak LRs; measured on v5e, warmup escapes it.
 
+    ``lr_schedule``/``decay_steps``/``min_lr_ratio``: optional cosine
+    decay after warmup (see ``make_lr_schedule``). Any non-constant
+    schedule makes the LR scale STATEFUL (ScaleByScheduleState) — the
+    flags are recorded in the checkpoint train meta so restore rebuilds
+    the same tree.
+
     ``moment_dtype`` (e.g. "bfloat16") stores BOTH Adam moments in that
     dtype — halves the ~2.2 GB/step of fp32 moment HBM traffic at ViT-B
     scale; update math stays fp32 (see train/optim.py). None keeps exact
     optax.adamw/reference behavior.
     """
-    lr = learning_rate
-    if warmup_steps > 0:
-        lr = optax.join_schedules(
-            [
-                optax.linear_schedule(0.0, learning_rate, warmup_steps),
-                optax.constant_schedule(learning_rate),
-            ],
-            [warmup_steps],
-        )
+    lr = make_lr_schedule(
+        learning_rate, warmup_steps, lr_schedule, decay_steps, min_lr_ratio
+    )
     if moment_dtype:
         from forde_tpu.train.optim import adamw_lowp
 
@@ -89,6 +125,9 @@ def create_train_state(
     mesh: Optional[Mesh] = None,
     warmup_steps: int = 0,
     moment_dtype: Optional[str] = None,
+    lr_schedule: str = "constant",
+    decay_steps: int = 0,
+    min_lr_ratio: float = 0.0,
 ) -> TrainState:
     """Initialize model + optimizer (reference create_train_state,
     train.py:54-84).
@@ -113,7 +152,8 @@ def create_train_state(
     stats_buffer = variables.get("stats_buffer", core.FrozenDict())
     tx = make_optimizer(
         learning_rate, weight_decay, grad_clip_norm, warmup_steps,
-        moment_dtype=moment_dtype,
+        moment_dtype=moment_dtype, lr_schedule=lr_schedule,
+        decay_steps=decay_steps, min_lr_ratio=min_lr_ratio,
     )
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, stats_buffer=stats_buffer
