@@ -12,6 +12,11 @@ budgets — and prints one JSON line per mode:
                 refill the moment a row finishes, so the chip never
                 idles on finished rows (and per-request budgets bound
                 actual work)
+  prefix      — the same pool workload where every request shares a
+                --prefix_len system prompt: once WITHOUT prefix caching
+                (each request prefills prefix+prompt) and once WITH
+                (register_prefix amortizes the prefix forward across
+                all requests; suffixes prefill at the offset)
 
 Usage: python benchmarks/serving_bench.py [--requests 32] [--rows 8]
          [--d_model 256] [--num_layers 4] [--scan_layers] ...
@@ -131,11 +136,12 @@ def run_ragged(model, variables, prompts, budgets, warm):
     return time.perf_counter() - t0
 
 
-def run_pool(model, variables, prompts, budgets, rows, warm):
+def run_pool(model, variables, prompts, budgets, rows, warm, chunk=None):
     from forde_tpu.models.decode_pool import DecodePool
 
     def once():
-        pool = DecodePool(model, variables, rows=rows, temperature=0.0)
+        pool = DecodePool(model, variables, rows=rows, temperature=0.0,
+                          prefill_chunk=chunk)
         for p, b in zip(prompts, budgets):
             pool.submit(p, max_new_tokens=int(b))
         n_done, ticks = 0, 0
@@ -150,6 +156,45 @@ def run_pool(model, variables, prompts, budgets, rows, warm):
     t0 = time.perf_counter()
     ticks = once()
     return time.perf_counter() - t0, ticks
+
+
+def run_prefix(model, variables, prompts, budgets, rows, plen, warm, seed):
+    """Shared-prefix workload through the pool, with and without prefix
+    caching. Returns (t_without, t_with)."""
+    from forde_tpu.models.decode_pool import DecodePool
+
+    rng = np.random.RandomState(seed + 1)
+    prefix = rng.randint(1, 1000, (plen,)).tolist()
+
+    def drain(pool, submit):
+        for p, b in zip(prompts, budgets):
+            submit(pool, p, int(b))
+        n = 0
+        while pool.pending():
+            n += len(pool.tick())
+        assert n == len(prompts)
+
+    def without():
+        pool = DecodePool(model, variables, rows=rows, temperature=0.0)
+        drain(pool, lambda pl, p, b: pl.submit(
+            prefix + p, max_new_tokens=b))
+
+    def with_cache():
+        pool = DecodePool(model, variables, rows=rows, temperature=0.0)
+        pid = pool.register_prefix(prefix)
+        drain(pool, lambda pl, p, b: pl.submit(
+            p, max_new_tokens=b, prefix_id=pid))
+
+    if warm:
+        without()
+        with_cache()
+    t0 = time.perf_counter()
+    without()
+    t_wo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with_cache()
+    t_w = time.perf_counter() - t0
+    return t_wo, t_w
 
 
 def main():
@@ -168,8 +213,12 @@ def main():
     ap.add_argument("--scan_layers", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prefix_len", type=int, default=256,
+                    help="shared system-prompt length for the prefix mode")
+    ap.add_argument("--prefill_chunk", type=int, default=None,
+                    help="continuous mode: chunked prefill size")
     ap.add_argument("--skip", default="",
-                    help="comma list: sequential,ragged,continuous")
+                    help="comma list: sequential,ragged,continuous,prefix")
     ap.add_argument("--no_warm", action="store_true",
                     help="skip the untimed warmup pass (saves time when "
                          "compiles dominate anyway)")
@@ -201,12 +250,28 @@ def main():
         }), flush=True)
     if "continuous" not in skip:
         dt, ticks = run_pool(
-            model, variables, prompts, budgets, args.rows, warm
+            model, variables, prompts, budgets, args.rows, warm,
+            chunk=args.prefill_chunk,
         )
         print(json.dumps({
             "mode": "continuous_pool", "wall_s": round(dt, 3),
             "out_tok_per_s": round(tokens / dt, 1),
-            "ticks": ticks,
+            "ticks": ticks, "prefill_chunk": args.prefill_chunk,
+        }), flush=True)
+    if "prefix" not in skip:
+        plen = min(
+            args.prefix_len,
+            cfg.max_seq_len - args.max_prompt - args.max_new - 1,
+        )
+        t_wo, t_w = run_prefix(
+            model, variables, prompts, budgets, args.rows, plen, warm,
+            args.seed,
+        )
+        print(json.dumps({
+            "mode": "prefix_cached_pool", "prefix_len": plen,
+            "wall_s_no_cache": round(t_wo, 3),
+            "wall_s_cached": round(t_w, 3),
+            "speedup": round(t_wo / t_w, 2),
         }), flush=True)
 
 

@@ -82,6 +82,42 @@ def _prefill_one(model, variables, prompt, length, key, temp, topk, topp):
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
+def _empty_row_cache(model):
+    """A fresh single-row cache (counters at 0) for chunked prefill."""
+    return model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32), None, True, True
+    )["cache"]
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _prefill_chunk(
+    model, variables, row_cache, chunk, last_local, key, temp, topk, topp
+):
+    """Advance a single row's prefill by ONE fixed-size chunk.
+
+    The decode-mode apply scatters the chunk's K/V at the row's running
+    cache offset and attends back over everything written so far — so a
+    prompt split into chunks is the same math as one prefill pass
+    (tests/test_prefix.py proves the split-prefill equivalence). Returns
+    (cache, token) where the token is sampled at ``last_local`` — only
+    meaningful on the FINAL chunk (earlier chunks ignore it), which
+    keeps this at one executable for the pool's whole life."""
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+    (logits, _), updated = model.apply(
+        {**model_vars, "cache": row_cache}, chunk, None, True, True,
+        mutable=["cache", "stats_buffer"],
+    )
+    last = jnp.take_along_axis(
+        logits, last_local[None, None, None], axis=1
+    )[:, 0, :].astype(jnp.float32)
+    token = sample_rows(last, key, temp, topk, topp)[0]
+    return updated["cache"], token
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
 def _prefill_suffix(
     model, variables, prefix_cache, suffix, length, key, temp, topk, topp
 ):
@@ -186,7 +222,15 @@ class DecodePool:
         top_p: Optional[float] = None,
         seed: int = 0,
         min_prefill_bucket: int = 8,
+        prefill_chunk: Optional[int] = None,
     ):
+        """``prefill_chunk``: process prompt prefills in fixed-size
+        chunks, ONE chunk per scheduler tick, instead of one whole-prompt
+        program at admission — a long prompt then delays the other rows
+        by at most one chunk per tick rather than its full prefill
+        latency. Token-exact vs one-shot prefill (chunked decode-mode
+        applies are the same math). Prompts whose chunk-aligned span
+        would spill past the cache end fall back to one-shot."""
         if model.config.use_sparse_attention:
             raise ValueError(
                 "DecodePool supports dense-causal configs only (same "
@@ -206,6 +250,10 @@ class DecodePool:
         self.topks = np.zeros((rows,), np.int32)
         self.topps = np.ones((rows,), np.float32)
         self.min_prefill_bucket = min_prefill_bucket
+        if prefill_chunk is not None:
+            prefill_chunk = max(1, min(prefill_chunk, model.config.max_seq_len))
+        self.prefill_chunk = prefill_chunk
+        self._filling = [None] * rows  # chunked-prefill state per slot
         self._key = jax.random.PRNGKey(seed)
         self._steps = 0
 
@@ -277,16 +325,20 @@ class DecodePool:
 
     def cancel(self, request_id: int) -> bool:
         """Abandon a request (client went away): drop it from the queue,
-        or free its slot immediately — the slot refills on the next tick
-        (its stale cache row is fully replaced by the next insert).
-        Returns whether the request was found. A cancelled request is
-        never reported by tick(). Call from the scheduler thread (the
-        same one driving tick())."""
+        abort its chunked prefill, or free its slot immediately — the
+        slot refills on the next tick (its stale cache row is fully
+        replaced by the next insert). Returns whether the request was
+        found. A cancelled request is never reported by tick(). Call
+        from the scheduler thread (the same one driving tick())."""
         for i, req in enumerate(self.queue):
             if req["id"] == request_id:
                 del self.queue[i]
                 return True
         for slot in range(self.rows):
+            st = self._filling[slot]
+            if st is not None and st["req"]["id"] == request_id:
+                self._filling[slot] = None
+                return True
             req = self._slot_req[slot]
             if req is not None and req["id"] == request_id:
                 self._finish(slot)
@@ -297,7 +349,11 @@ class DecodePool:
         return self._prefixes[prefix_id][1]
 
     def pending(self) -> bool:
-        return bool(self.queue) or bool(self.active.any())
+        return (
+            bool(self.queue)
+            or bool(self.active.any())
+            or any(st is not None for st in self._filling)
+        )
 
     def active_rows(self) -> int:
         return int(self.active.sum())
@@ -306,7 +362,11 @@ class DecodePool:
 
     def _fill_slots(self):
         for slot in range(self.rows):
-            if self.active[slot] or not self.queue:
+            if (
+                self.active[slot]
+                or self._filling[slot] is not None
+                or not self.queue
+            ):
                 continue
             req = self.queue.pop(0)
             p = req["prompt"]
@@ -314,6 +374,21 @@ class DecodePool:
                 self._prefixes[req["prefix"]][1]
                 if req["prefix"] is not None else 0
             )
+            c = self.prefill_chunk
+            if c is not None:
+                span = ((len(p) + c - 1) // c) * c  # chunk-aligned
+                if plen0 + span <= self.model.config.max_seq_len:
+                    # chunked admission: one chunk per tick from here on
+                    if req["prefix"] is not None:
+                        cache = self._prefixes[req["prefix"]][0]
+                    else:
+                        cache = _empty_row_cache(self.model)
+                    self._filling[slot] = {
+                        "req": req, "cache": cache, "done": 0, "plen": plen0,
+                    }
+                    continue
+                # chunk-aligned span would spill past the cache end:
+                # fall back to the one-shot (exact-capacity) prefill
             bucket = max(_next_pow2(len(p)), self.min_prefill_bucket)
             # never let the padded chunk spill past the cache end — a
             # dynamic_update_slice at offset plen0 would CLAMP the start
@@ -342,20 +417,54 @@ class DecodePool:
                     self.model, self.variables, jnp.asarray(padded),
                     jnp.asarray(len(p), jnp.int32), k, *sampling,
                 )
-            self.cache = _insert_row(
-                self.cache, row_cache, jnp.asarray(slot, jnp.int32)
+            self._activate_slot(slot, req, row_cache, token, plen)
+
+    def _activate_slot(self, slot, req, row_cache, token, plen):
+        """Prefill finished (one-shot or final chunk): scatter the row
+        into the pool and start decoding it."""
+        p = req["prompt"]
+        self.cache = _insert_row(
+            self.cache, row_cache, jnp.asarray(slot, jnp.int32)
+        )
+        self.tokens = self.tokens.at[slot].set(token)
+        self.positions[slot] = plen + len(p)
+        self.temps[slot] = req["temp"]
+        self.topks[slot] = req["topk"]
+        self.topps[slot] = req["topp"]
+        self.active[slot] = True
+        req["out"] = list(p) + [int(token)]
+        req["left"] = req["max_new"] - 1
+        self._slot_req[slot] = req
+        if req["cb"] is not None:
+            req["cb"](req["id"], int(token))
+
+    def _advance_fills(self):
+        """One prefill chunk per FILLING slot per tick — a long prompt
+        delays active rows by at most one chunk's latency per tick."""
+        c = self.prefill_chunk
+        for slot in range(self.rows):
+            st = self._filling[slot]
+            if st is None:
+                continue
+            req = st["req"]
+            p = req["prompt"]
+            seg = p[st["done"]: st["done"] + c]
+            chunk = np.zeros((1, c), np.int32)
+            chunk[0, : len(seg)] = seg
+            final = st["done"] + c >= len(p)
+            last_local = min(len(p) - 1 - st["done"], c - 1)
+            self._key, k = jax.random.split(self._key)
+            st["cache"], token = _prefill_chunk(
+                self.model, self.variables, st["cache"],
+                jnp.asarray(chunk), jnp.asarray(last_local, jnp.int32), k,
+                jnp.full((1,), req["temp"], jnp.float32),
+                jnp.full((1,), req["topk"], jnp.int32),
+                jnp.full((1,), req["topp"], jnp.float32),
             )
-            self.tokens = self.tokens.at[slot].set(token)
-            self.positions[slot] = plen + len(p)
-            self.temps[slot] = req["temp"]
-            self.topks[slot] = req["topk"]
-            self.topps[slot] = req["topp"]
-            self.active[slot] = True
-            req["out"] = list(p) + [int(token)]
-            req["left"] = req["max_new"] - 1
-            self._slot_req[slot] = req
-            if req["cb"] is not None:
-                req["cb"](req["id"], int(token))
+            st["done"] += c
+            if final:
+                self._filling[slot] = None
+                self._activate_slot(slot, req, st["cache"], token, st["plen"])
 
     def _finish(self, slot):
         req = self._slot_req[slot]
@@ -373,6 +482,8 @@ class DecodePool:
         finished this round."""
         finished = []
         self._fill_slots()
+        if self.prefill_chunk is not None:
+            self._advance_fills()
         # rows whose first (prefill-sampled) token already ends them
         for slot in range(self.rows):
             if not self.active[slot]:

@@ -288,6 +288,7 @@ class ContinuousBatcher:
             model, variables, rows=args.max_batch,
             temperature=args.temperature, top_k=args.top_k,
             top_p=args.top_p, seed=args.seed,
+            prefill_chunk=args.prefill_chunk,
         )
         self._prefix_id, self.prefix_len = None, 0
         if getattr(args, "prefix_ids", None):
@@ -433,6 +434,7 @@ class ContinuousBatcher:
                     temperature=self.args.temperature,
                     top_k=self.args.top_k, top_p=self.args.top_p,
                     seed=self.args.seed,
+                    prefill_chunk=self.args.prefill_chunk,
                 )
                 if self._prefix_id is not None:
                     prefix = [
@@ -640,6 +642,11 @@ def add_server_args(p):
                         "decode pool at TOKEN granularity (no batch "
                         "boundaries; --max_batch = pool rows; dense "
                         "configs only)")
+    p.add_argument("--prefill_chunk", type=int, default=None,
+                   help="continuous mode: prefill prompts in fixed-size "
+                        "chunks, one per scheduler tick — a long prompt "
+                        "then delays active rows by one chunk per tick "
+                        "instead of its whole prefill (token-exact)")
     return p
 
 
