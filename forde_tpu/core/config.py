@@ -108,6 +108,15 @@ class LLMConfig:
     # Dense layers consume int8 kernels + per-channel scales produced by
     # quantize_params. Serving only — there is no quantized training path.
     quantized: bool = False
+    # Bit-exact reference-quirk mode. The reference applies final_norm and
+    # then *discards* it whenever hyper-connections are on (reference
+    # src/forde/model.py:276-285: the norm of x is computed at :276, then x
+    # is overwritten with the raw StreamCollapser output at :279-285, so
+    # lm_head never sees a normalized activation). Our default fixes that
+    # (collapse, then normalize — models/decoder_lm.py); this flag restores
+    # the reference behavior so weight-transplant fidelity holds for every
+    # MoE×NSA×mHC flag combination (tests/test_reference_fidelity.py).
+    reference_quirks: bool = False
     dtypes: DTypePolicy = field(default_factory=DTypePolicy)
 
     def replace(self, **kw) -> "LLMConfig":

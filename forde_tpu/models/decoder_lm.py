@@ -302,15 +302,33 @@ class FORDEDecoderLM(nn.Module):
         # with the collapsed streams, so lm_head sees unnormalized
         # activations whenever mHC is on (a likely contributor to the
         # reference's NaN run, SURVEY.md §6). Here we collapse first and
-        # normalize what actually feeds lm_head.
+        # normalize what actually feeds lm_head. config.reference_quirks
+        # restores the reference ordering bit-exactly (final_norm computed
+        # on x and dropped; lm_head fed the raw collapsed streams) so
+        # weight transplants match at 1e-5 with mHC on too.
         if cfg.use_hyper_connections and streams is not None:
-            x = StreamCollapser(
-                d_model=cfg.d_model,
-                collapse_method="weighted_sum",
-                dtype=dtype,
-                name="stream_collapser",
-            )(streams)
-        x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
+            if cfg.reference_quirks:
+                # Reference model.py:276-285: the norm is computed (its
+                # params exist and receive gradients of exactly zero) but
+                # never reaches lm_head. XLA dead-code-eliminates the
+                # computation; the param tree stays transplant-identical.
+                _ = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
+                x = StreamCollapser(
+                    d_model=cfg.d_model,
+                    collapse_method="weighted_sum",
+                    dtype=dtype,
+                    name="stream_collapser",
+                )(streams)
+            else:
+                x = StreamCollapser(
+                    d_model=cfg.d_model,
+                    collapse_method="weighted_sum",
+                    dtype=dtype,
+                    name="stream_collapser",
+                )(streams)
+                x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
+        else:
+            x = nn.LayerNorm(name="final_norm", dtype=dtype)(x)
 
         if cfg.quantized:
             from forde_tpu.ops.quant import QDense
