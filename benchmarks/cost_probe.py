@@ -29,18 +29,34 @@ V5E_HBM_BPS = 819e9
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="vit_b16", choices=["vit_b16", "tiny"])
+    ap.add_argument(
+        "--preset", default="vit_b16",
+        choices=["vit_b16", "tiny", "tiny_hd128", "vit_b16_hd128"],
+    )
     ap.add_argument("--batch", type=int, default=0, help="0 = preset default")
     ap.add_argument("--text_len", type=int, default=64)
     ap.add_argument("--moment_dtype", default="bfloat16")
     ap.add_argument("--remat", default="")
     args = ap.parse_args()
 
-    from forde_tpu.core.config import DTypePolicy, vit_b16_config, vit_tiny_config
+    from forde_tpu.core.config import (
+        DTypePolicy,
+        vit_b16_config,
+        vit_b16_hd128_config,
+        vit_tiny_config,
+        vit_tiny_hd128_config,
+    )
     from forde_tpu.train.clip_step import clip_train_step, create_clip_train_state
 
-    batch_size = args.batch or {"vit_b16": 128, "tiny": 512}[args.preset]
-    cfg = vit_b16_config() if args.preset == "vit_b16" else vit_tiny_config()
+    batch_size = args.batch or {
+        "vit_b16": 128, "tiny": 512, "tiny_hd128": 512, "vit_b16_hd128": 128,
+    }[args.preset]
+    cfg = {
+        "vit_b16": vit_b16_config,
+        "tiny": vit_tiny_config,
+        "tiny_hd128": vit_tiny_hd128_config,
+        "vit_b16_hd128": vit_b16_hd128_config,
+    }[args.preset]()
     cfg = cfg.replace(dtypes=DTypePolicy.bf16(), forde_lite=False)
     if args.remat:
         cfg = cfg.replace(remat=args.remat)

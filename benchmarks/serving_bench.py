@@ -197,6 +197,119 @@ def run_prefix(model, variables, prompts, budgets, rows, plen, warm, seed):
     return t_wo, t_w
 
 
+def _pctl(xs, q):
+    return round(float(np.percentile(np.asarray(xs), q)), 4) if len(xs) else None
+
+
+def run_load_pool(model, variables, prompts, budgets, arrivals, rows,
+                  chunk=None, prefix=None, warm=True):
+    """Open-loop Poisson load against the continuous pool.
+
+    Requests become visible at their arrival times; the pool is ticked
+    continuously. Per request: TTFT = first sampled token's host-visible
+    time minus ARRIVAL (queueing included — the number a client sees),
+    TPOT = mean inter-token gap after the first. Returns the latency
+    record list + makespan."""
+    from forde_tpu.models.decode_pool import DecodePool
+
+    def once():
+        pool = DecodePool(model, variables, rows=rows, temperature=0.0,
+                          prefill_chunk=chunk)
+        pid = pool.register_prefix(prefix) if prefix is not None else None
+        rec = {}
+        first = {}
+        last = {}
+        ntok = {}
+
+        def on_token(rid, tok):
+            now = time.perf_counter()
+            if rid not in first:
+                first[rid] = now
+            last[rid] = now
+            ntok[rid] = ntok.get(rid, 0) + 1
+
+        t0 = time.perf_counter()
+        nxt = 0
+        done = 0
+        while done < len(prompts):
+            now = time.perf_counter() - t0
+            while nxt < len(prompts) and arrivals[nxt] <= now:
+                rid = pool.submit(
+                    prompts[nxt], max_new_tokens=int(budgets[nxt]),
+                    prefix_id=pid, on_token=on_token,
+                )
+                rec[rid] = {"arrival": t0 + arrivals[nxt], "idx": nxt}
+                nxt += 1
+            if pool.pending():
+                done += len(pool.tick())
+            elif nxt < len(prompts):
+                time.sleep(max(0.0, arrivals[nxt] - (time.perf_counter() - t0)))
+        makespan = time.perf_counter() - t0
+        out = []
+        for rid, r in rec.items():
+            tt = first[rid] - r["arrival"]
+            n = ntok[rid]
+            tpot = (last[rid] - first[rid]) / (n - 1) if n > 1 else 0.0
+            out.append({"ttft": tt, "tpot": tpot, "n": n})
+        return out, makespan
+
+    if warm:
+        once()
+    return once()
+
+
+def run_load_ragged(model, variables, prompts, budgets, arrivals, rows,
+                    warm=True):
+    """Open-loop load against a dynamic-batching closed-batch server
+    (serve_http's pre-pool strategy): collect everything that has arrived,
+    run ONE generate_ragged program over up to ``rows`` requests, repeat.
+    Tokens only become visible when their batch completes, so TTFT =
+    batch completion - arrival."""
+    from forde_tpu.models.generate import generate_ragged
+
+    def run_batch(idxs):
+        ps = [prompts[i] for i in idxs]
+        lens = np.array([len(p) for p in ps], np.int32)
+        pmax = int(lens.max())
+        new = int(max(budgets[i] for i in idxs))
+        padded = np.zeros((len(ps), pmax), np.int32)
+        for j, p in enumerate(ps):
+            padded[j, : len(p)] = p
+        out = generate_ragged(
+            model, variables, jnp.asarray(padded), jnp.asarray(lens),
+            jax.random.PRNGKey(0), max_new_tokens=new, temperature=0,
+        )
+        np.asarray(out)  # host sync
+
+    def once():
+        t0 = time.perf_counter()
+        nxt = 0
+        out = []
+        while nxt < len(prompts):
+            now = time.perf_counter() - t0
+            if arrivals[nxt] > now:
+                time.sleep(arrivals[nxt] - now)
+            avail = [
+                i for i in range(nxt, len(prompts))
+                if arrivals[i] <= time.perf_counter() - t0
+            ]
+            batch = avail[:rows]
+            run_batch(batch)
+            fin = time.perf_counter()
+            for i in batch:
+                n = int(budgets[i])
+                # closed batch: every token of the batch lands at once
+                out.append({
+                    "ttft": fin - (t0 + arrivals[i]), "tpot": 0.0, "n": n,
+                })
+            nxt = batch[-1] + 1
+        return out, time.perf_counter() - t0
+
+    if warm:
+        once()
+    return once()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=32)
@@ -218,7 +331,13 @@ def main():
     ap.add_argument("--prefill_chunk", type=int, default=None,
                     help="continuous mode: chunked prefill size")
     ap.add_argument("--skip", default="",
-                    help="comma list: sequential,ragged,continuous,prefix")
+                    help="comma list: sequential,ragged,continuous,prefix,load")
+    ap.add_argument("--load_rate", type=float, default=0.0,
+                    help="Poisson arrival rate (req/s) for the load mode; "
+                         "0 disables it")
+    ap.add_argument("--load_prefix", action="store_true",
+                    help="load mode: give every request a shared cached "
+                         "prefix of --prefix_len")
     ap.add_argument("--no_warm", action="store_true",
                     help="skip the untimed warmup pass (saves time when "
                          "compiles dominate anyway)")
@@ -273,6 +392,56 @@ def main():
             "wall_s_cached": round(t_w, 3),
             "speedup": round(t_wo / t_w, 2),
         }), flush=True)
+
+    # ---- open-loop Poisson load: TTFT/TPOT p50/p99 (vLLM-style SLOs) ----
+    if args.load_rate > 0 and "load" not in skip:
+        rng = np.random.RandomState(args.seed + 7)
+        gaps = rng.exponential(1.0 / args.load_rate, args.requests)
+        arrivals = np.cumsum(gaps)
+        prefix = None
+        if args.load_prefix:
+            plen = min(
+                args.prefix_len,
+                cfg.max_seq_len - args.max_prompt - args.max_new - 1,
+            )
+            prefix = np.random.RandomState(args.seed + 1).randint(
+                1, 1000, (plen,)
+            ).tolist()
+
+        def report(name, recs, makespan, tpot_defined=True, **kw):
+            ttft = [r["ttft"] for r in recs]
+            tpot = [r["tpot"] for r in recs if r["n"] > 1]
+            toks = sum(r["n"] for r in recs)
+            out = {
+                "mode": name, "arrival_rate_rps": args.load_rate,
+                "makespan_s": round(makespan, 3),
+                "out_tok_per_s": round(toks / makespan, 1),
+                "ttft_p50_s": _pctl(ttft, 50), "ttft_p99_s": _pctl(ttft, 99),
+                **kw,
+            }
+            if tpot_defined:
+                out["tpot_p50_s"] = _pctl(tpot, 50)
+                out["tpot_p99_s"] = _pctl(tpot, 99)
+            print(json.dumps(out), flush=True)
+
+        recs, mk = run_load_ragged(
+            model, variables, prompts, budgets, arrivals, args.rows, warm
+        )
+        report("load_ragged_dynamic", recs, mk, tpot_defined=False)
+        recs, mk = run_load_pool(
+            model, variables, prompts, budgets, arrivals, args.rows,
+            chunk=None, prefix=prefix, warm=warm,
+        )
+        report("load_continuous", recs, mk,
+               prefix_len=len(prefix) if prefix else 0)
+        if args.prefill_chunk:
+            recs, mk = run_load_pool(
+                model, variables, prompts, budgets, arrivals, args.rows,
+                chunk=args.prefill_chunk, prefix=prefix, warm=warm,
+            )
+            report("load_continuous_chunked", recs, mk,
+                   prefill_chunk=args.prefill_chunk,
+                   prefix_len=len(prefix) if prefix else 0)
 
 
 if __name__ == "__main__":

@@ -282,6 +282,31 @@ def vit_tiny_hd128_config() -> DualEncoderConfig:
     )
 
 
+def vit_b16_hd128_config() -> DualEncoderConfig:
+    """ViT-B/16 with 128-wide heads: vision 6x128, text 4x128.
+
+    Parameter-shape neutral vs vit_b16_config (H*D stays 768/512 so every
+    projection keeps its exact CLIP ViT-B/16 shape) — only the head split
+    changes. Each attention chain becomes lane-perfect (S, 128) dots on
+    the MXU's 128-lane contraction instead of half-lane (S, 64) ones, and
+    halves the (S, S) softmax traffic. Measured 1,092 vs 1,009
+    pairs/s/chip at batch 128 (benchmarks/vitb_levers.py, v5e, round 4).
+    """
+    return DualEncoderConfig(
+        image_size=224,
+        patch_size=16,
+        vision=TowerConfig(
+            d_model=768, num_layers=12, num_heads=6, head_dim=128,
+            mlp_hidden_dim=3072,
+        ),
+        text=TowerConfig(
+            d_model=512, num_layers=12, num_heads=4, head_dim=128,
+            mlp_hidden_dim=2048,
+        ),
+        embed_dim=512,
+    )
+
+
 def config_to_dict(cfg) -> dict:
     """JSON-safe dict for an LLMConfig or DualEncoderConfig (dtypes by name)."""
     if isinstance(cfg, LLMConfig):

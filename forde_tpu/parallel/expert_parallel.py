@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from forde_tpu.core.mesh import AXIS_DATA, AXIS_EXPERT
+from forde_tpu.core.mesh import AXIS_CONTEXT, AXIS_DATA, AXIS_EXPERT
 from forde_tpu.ops import moe_dispatch
 
 
@@ -285,12 +285,25 @@ def expert_parallel_ffn(
     b, s, _ = x.shape
     data_shards = mesh.shape[AXIS_DATA]
     ep = mesh.shape[AXIS_EXPERT]
-    t_local = (b // data_shards) * s
+    cp = mesh.shape.get(AXIS_CONTEXT, 1)
+    # Context parallelism composes: tokens arrive sharded (data, context)
+    # on (B, S); the FFN is per-token, so the context axis just further
+    # divides the local token count. The a2a variant's flat out_specs
+    # cannot express a context-split S dim, so CP meshes take the psum
+    # variant (activations replicated over ``expert`` only).
+    ctx = AXIS_CONTEXT if cp > 1 else None
+    t_local = (b // data_shards) * (s // cp)
     w_up, b_up, w_down, b_down = expert_params
 
     if variant == "auto":
-        variant = "a2a" if t_local % ep == 0 else "psum"
+        variant = "a2a" if t_local % ep == 0 and cp == 1 else "psum"
     if variant == "a2a":
+        if cp > 1:
+            raise ValueError(
+                "all-to-all EP does not compose with context parallelism "
+                "(flat token out_specs cannot split S over 'context'); "
+                "use variant='psum'"
+            )
         if t_local % ep:
             raise ValueError(
                 f"all-to-all EP needs local tokens {t_local} divisible by "
@@ -324,6 +337,7 @@ def expert_parallel_ffn(
         return out.reshape(b, s, -1).astype(x.dtype)
 
     capacity = max(int(capacity_factor * t_local * top_k / num_experts), top_k)
+    tok_spec = P(AXIS_DATA, ctx, None)
     fn = jax.shard_map(
         functools.partial(
             _ep_logits_body,
@@ -334,12 +348,12 @@ def expert_parallel_ffn(
         ),
         mesh=mesh,
         in_specs=(
-            P(AXIS_DATA, None, None),
-            P(AXIS_DATA, None, None),
-            P(AXIS_DATA, None, None),
+            tok_spec,
+            tok_spec,
+            tok_spec,
             P(AXIS_EXPERT, None, None), P(AXIS_EXPERT, None),
             P(AXIS_EXPERT, None, None), P(AXIS_EXPERT, None),
         ),
-        out_specs=P(AXIS_DATA, None, None),
+        out_specs=tok_spec,
     )
     return fn(x, top_k_indices, top_k_probs, w_up, b_up, w_down, b_down)

@@ -41,6 +41,21 @@ Scope: training/eval forward (``decode=False``), ``deterministic=True``
 (PP serving would pipeline the decode loop instead), and
 ``scan_layers=True`` (the stacked layout IS the stage slicing).
 
+Axis composition: the stage program is manual ONLY over ``pipe`` (and
+``data``); every other mesh axis stays automatic, so GSPMD keeps
+partitioning inside each stage. Supported 3-axis meshes:
+  * data x model x pipe — Megatron TP inside each GPipe stage
+    (tp_param_spec shardings on the (L,)-stacked block params);
+  * data x expert x pipe — ``moe_dispatch="capacity"`` with the stacked
+    expert bank sharded (L, E->expert, ...) by train/state.state_shardings;
+    XLA partitions the expert einsums over ``expert``.
+PP x EP via the shard_map all-to-all path (``moe_dispatch="ep"``) is
+REJECTED: it would nest a manual shard_map over (data, expert) inside
+the pipeline's manual region over (pipe, data) — ``data`` cannot be
+manual twice. pp_forward therefore applies blocks with ``mesh=None``,
+and a "ep"-dispatch config raises inside DecoderBlock; use capacity
+dispatch under PP (same math, GSPMD-sharded experts).
+
 Cites: reference src/forde/model.py:202-294 for the block/embedding
 semantics being pipelined (unchanged here, only re-scheduled).
 """
@@ -226,11 +241,21 @@ def pp_forward(
         aux_acc = jax.lax.psum(aux_acc, AXIS_PIPE)
         return out, stats_acc, aux_acc
 
+    # Manual only over the pipeline (and data) axes; every other mesh
+    # axis stays AUTOMATIC inside the stage program, so GSPMD shardings
+    # keep propagating there — in particular a ``model`` axis gives
+    # Megatron tensor parallelism INSIDE each pipeline stage (the
+    # data x model x pipe 3-axis mesh), and an ``expert`` axis shards the
+    # (L, E, ...) stacked expert bank of the capacity dispatch (PP x EP
+    # via GSPMD — the shard_map a2a EP path cannot nest here, see module
+    # docstring).
+    manual = {AXIS_PIPE} | ({data_ax} if data_ax else set())
     out, stats_delta, aux_total = jax.shard_map(
         stage_program,
         mesh=mesh,
         in_specs=(pspec, stats_spec, bspec, bspec if use_mhc else P()),
         out_specs=(bspec, stats_spec, P()),
+        axis_names=frozenset(manual),
         check_vma=False,
     )(
         block_params,

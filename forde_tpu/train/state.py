@@ -218,10 +218,21 @@ def _leaf_sharding(path, leaf, mesh, fsdp: bool = False):
         expert_axis > 1
         and "experts" in names
         and not in_layer_stack  # scanned experts are (L, E, ...): dim 0
-        # is the layer stack, not the expert dim — leave to pipe/fsdp
+        # is the layer stack, not the expert dim — see next branch
         and leaf.shape[0] % expert_axis == 0
     ):
         spec[0] = mesh_lib.AXIS_EXPERT
+    if (
+        expert_axis > 1
+        and "experts" in names
+        and in_layer_stack
+        and leaf.ndim >= 2
+        and leaf.shape[1] % expert_axis == 0
+    ):
+        # scanned expert bank (L, E, ...): expert dim is dim 1. Composes
+        # with pipe on dim 0 (data x expert x pipe — PP x EP via GSPMD
+        # capacity dispatch, parallel/pipeline.py docstring).
+        spec[1] = mesh_lib.AXIS_EXPERT
     if model_axis > 1:
         tp = mesh_lib.tp_param_spec(names, leaf)
         if tp is not None:

@@ -152,6 +152,102 @@ class TestExpertParallelWiring:
             )
 
 
+class TestThreeAxisMeshes:
+    """3-axis composition (VERDICT r3 item 6): loss equivalence vs a
+    single-device run of the same params/batch, not just finiteness."""
+
+    def test_data_model_pipe(self):
+        """data x model x pipe (2x2x2): Megatron TP inside each GPipe
+        stage. The pipeline's shard_map is manual over pipe/data only, so
+        'model' stays automatic and tp_param_spec shardings propagate.
+        loss/lm must equal the unpipelined single-device run (the MoE aux
+        term is per-microbatch averaged by design, so only lm compares)."""
+        from forde_tpu.parallel.pipeline import make_pp_train_step
+
+        cfg = _cfg(moe_dispatch="capacity", scan_layers=True)
+        mesh = mesh_lib.create_mesh(
+            data=2, model=2, pipe=2, devices=jax.devices()[:8]
+        )
+        batch_np = _batches(1, 8, 32, cfg.vocab_size)[0]
+
+        state = create_train_state(
+            cfg, jax.random.PRNGKey(0), 1e-2, 0.0, init_batch_shape=(1, 16)
+        )
+        state = shard_train_state(state, mesh)
+        # TP really is engaged: a qkv kernel leaf carries 'model'
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(state.params)
+        qkv = next(v for p, v in flat.items() if p[-2:] == ("qkv_proj", "kernel"))
+        assert mesh_lib.AXIS_MODEL in jax.tree.leaves(
+            tuple(qkv.sharding.spec)
+        ), qkv.sharding
+        assert tuple(qkv.sharding.spec)[0] == mesh_lib.AXIS_PIPE
+
+        step = make_pp_train_step(cfg, mesh, num_microbatches=2,
+                                  aux_loss_weight=0.01)
+        batch = {
+            "input_ids": jax.device_put(
+                batch_np, mesh_lib.batch_sharding(mesh)
+            )
+        }
+        _, pp_metrics = step(state, batch)
+
+        ref_state = create_train_state(
+            cfg, jax.random.PRNGKey(0), 1e-2, 0.0, init_batch_shape=(1, 16)
+        )
+        _, ref_metrics = train_step(
+            ref_state, {"input_ids": jnp.asarray(batch_np)},
+            aux_loss_weight=0.01,
+        )
+        np.testing.assert_allclose(
+            float(pp_metrics["loss/lm"]), float(ref_metrics["loss/lm"]),
+            rtol=0, atol=2e-5,
+        )
+
+    def test_data_expert_context(self):
+        """data x expert x context (2x2x2): shard_map EP (psum variant)
+        with tokens sharded (data, context) and ring attention over
+        'context'. Total loss (lm + aux) equals the single-device
+        capacity run exactly (no-drop capacity)."""
+        cfg_ep = _cfg(moe_dispatch="ep")
+        cfg_ref = _cfg(moe_dispatch="capacity")
+        batches = _batches(2, 4, 32, cfg_ep.vocab_size)
+
+        mesh = mesh_lib.create_mesh(
+            data=2, expert=2, context=2, devices=jax.devices()[:8]
+        )
+        mesh_1 = mesh_lib.create_mesh(data=1, devices=jax.devices()[:1])
+
+        losses = _run_steps(cfg_ep, mesh, mesh, batches)
+        ref_losses = _run_steps(cfg_ref, mesh_1, None, batches)
+        np.testing.assert_allclose(losses, ref_losses, rtol=0, atol=2e-5)
+
+    def test_a2a_rejects_context_mesh(self):
+        """The all-to-all EP variant cannot split S over 'context' —
+        explicit error, psum is the CP-composing variant."""
+        from forde_tpu.ops import moe_dispatch
+        from forde_tpu.parallel.expert_parallel import expert_parallel_ffn
+
+        e, d, h, b, s, k = 4, 16, 32, 4, 8, 2
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(b, s, d), jnp.float32)
+        logits = jnp.asarray(rng.randn(b, s, e), jnp.float32)
+        tki, tkp = moe_dispatch.top_k_gating(logits, k)
+        params = tuple(
+            jnp.asarray(rng.randn(*shape) * 0.1, jnp.float32)
+            for shape in [(e, d, h), (e, h), (e, h, d), (e, d)]
+        )
+        mesh = mesh_lib.create_mesh(
+            data=2, expert=2, context=2, devices=jax.devices()[:8]
+        )
+        with pytest.raises(ValueError, match="context"):
+            expert_parallel_ffn(
+                x, tki, tkp, params, mesh, num_experts=e, top_k=k,
+                capacity_factor=float(e), variant="a2a",
+            )
+
+
 class TestContextParallelWiring:
     def test_cp_matches_single_device(self):
         """context=4 ring attention training == single-device training."""
