@@ -45,7 +45,9 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 10_000.0
-DEFAULT_BATCH = {"vit_b16": 128, "tiny": 512, "tiny_hd128": 512}
+DEFAULT_BATCH = {
+    "vit_b16": 128, "tiny": 512, "tiny_hd128": 512, "vit_b16_hd128": 128,
+}
 
 
 def run_preset(
@@ -54,6 +56,7 @@ def run_preset(
     from forde_tpu.core.config import (
         DTypePolicy,
         vit_b16_config,
+        vit_b16_hd128_config,
         vit_tiny_config,
         vit_tiny_hd128_config,
     )
@@ -68,6 +71,7 @@ def run_preset(
         "vit_b16": vit_b16_config,
         "tiny": vit_tiny_config,
         "tiny_hd128": vit_tiny_hd128_config,
+        "vit_b16_hd128": vit_b16_hd128_config,
     }[preset]()
     cfg = cfg.replace(dtypes=DTypePolicy.bf16(), forde_lite=False)
     if os.environ.get("BENCH_REMAT"):
@@ -94,6 +98,43 @@ def run_preset(
     }
 
     nosense = make_nosense_step(cfg) if sense_interval > 1 else None
+
+    # Dispatch-amortized mode (BENCH_SCAN=k): run k optimizer steps per
+    # jit call via lax.scan — the production shape once data is device-
+    # resident (prefetch queue). The axon tunnel costs ~2 ms per dispatch
+    # (PERF.md round 2), which is real overhead at ~50 ms steps; the scan
+    # measures the steady-state compute rate without it. Default off so
+    # the headline stays the per-step-dispatched number.
+    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
+    if scan_k > 1:
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi_step(state):
+            def body(carry, i):
+                if nosense is not None:
+                    s, m = jax.lax.cond(
+                        i % sense_interval == 0,
+                        lambda s: clip_train_step(s, batch),
+                        lambda s: nosense(s, batch),
+                        carry,
+                    )
+                else:
+                    s, m = clip_train_step(carry, batch)
+                return s, m["loss/contrastive"]
+
+            return jax.lax.scan(body, state, jnp.arange(scan_k))
+
+        state, losses = multi_step(state)  # warmup/compile
+        float(losses[-1])
+        t0 = time.perf_counter()
+        for _ in range(max(steps // scan_k, 1)):
+            state, losses = multi_step(state)
+        loss_sync = float(losses[-1])
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss_sync), f"non-finite loss {loss_sync}"
+        n = max(steps // scan_k, 1) * scan_k
+        return n * batch_size / dt / jax.device_count()
 
     def one_step(i, state):
         if nosense is not None and i % sense_interval:
