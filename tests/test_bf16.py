@@ -10,8 +10,10 @@ from forde_tpu.train.state import create_train_state
 from forde_tpu.train.step import train_step
 from tests.test_decoder_model import tiny_config
 from tests.test_dual_encoder import _batch, tiny_cfg
+import pytest
 
 
+@pytest.mark.slow
 def test_decoder_bf16_step():
     cfg = tiny_config(dtypes=DTypePolicy.bf16())
     state = create_train_state(cfg, jax.random.PRNGKey(0), 1e-3, 0.0,
@@ -29,6 +31,7 @@ def test_decoder_bf16_step():
     assert all(u.dtype == jnp.float32 for u in usage)
 
 
+@pytest.mark.slow
 def test_dual_encoder_bf16_step():
     from forde_tpu.train.clip_step import clip_train_step, create_clip_train_state
 

@@ -87,6 +87,7 @@ def test_feature_flag_ablations(flags):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     cfg = tiny_config()
     state = create_train_state(

@@ -17,6 +17,8 @@ from forde_tpu.models.dual_encoder import (
     clip_contrastive_loss,
     l2_normalize,
 )
+import pytest
+
 from forde_tpu.train.clip_step import (
     clip_eval_embeddings,
     clip_train_step,
@@ -92,6 +94,7 @@ def test_contrastive_loss_prefers_aligned_pairs():
     )
 
 
+@pytest.mark.slow
 def test_clip_train_step_senses_and_learns():
     cfg = tiny_cfg()
     b = 4
@@ -119,6 +122,7 @@ def test_clip_train_step_senses_and_learns():
             assert int(v) == 10
 
 
+@pytest.mark.slow
 def test_neuron_slow_loop_rewrites_brain_and_resets():
     cfg = tiny_cfg()
     state = create_clip_train_state(

@@ -45,6 +45,7 @@ def test_cosine_requires_decay_steps():
         make_lr_schedule(1.0, lr_schedule="linear")
 
 
+@pytest.mark.slow
 def test_cosine_checkpoint_roundtrip(tmp_path, capsys):
     """Train with cosine decay, checkpoint, then (a) resume and (b) serve
     from the checkpoint — both must rebuild the stateful-schedule
@@ -85,6 +86,7 @@ def test_cosine_checkpoint_roundtrip(tmp_path, capsys):
     assert ids[:3] == [5, 17, 20] and len(ids) == 5
 
 
+@pytest.mark.slow
 def test_clip_cosine_smoke(capsys):
     from forde_tpu.train import clip_loop
 

@@ -7,8 +7,10 @@ import numpy as np
 
 from forde_tpu.nn.attention import NativeSparseAttention
 from forde_tpu.nn.nsa_modules import CompressedGlobalAttention, TopKSelection
+import pytest
 
 
+@pytest.mark.slow
 def test_nsa_shapes():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (2, 64, 64))

@@ -8,6 +8,7 @@ import numpy as np
 
 from forde_tpu.obs.metrics import MetricsWriter, ThroughputMeter
 from forde_tpu.obs.plots import plot_brain_scan, plot_census, plot_feature_space
+import pytest
 
 
 def test_plot_artifacts_written(tmp_path):
@@ -70,6 +71,7 @@ def test_retrieval_metrics_perfect_and_shuffled():
     assert m2["retrieval/i2t_recall@1"] < 0.5
 
 
+@pytest.mark.slow
 def test_evaluate_retrieval_end_to_end():
     import jax
 

@@ -77,6 +77,7 @@ def test_flash_backward_matches_reference(window):
         )
 
 
+@pytest.mark.slow
 def test_streaming_long_context_kernels_match_reference(monkeypatch):
     """The streaming (S > LONG_SEQ_THRESHOLD) kernels — scratch-carried
     online softmax, window-relative block maps, no full-S VMEM residents —
@@ -106,6 +107,7 @@ def test_streaming_long_context_kernels_match_reference(monkeypatch):
             )
 
 
+@pytest.mark.slow
 def test_flash_lse_merge_invariant():
     """(o, lse) over two disjoint key halves merge exactly into full
     attention — the invariant ring attention is built on — and the lse

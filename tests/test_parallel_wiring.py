@@ -152,6 +152,7 @@ class TestExpertParallelWiring:
             )
 
 
+@pytest.mark.slow
 class TestThreeAxisMeshes:
     """3-axis composition (VERDICT r3 item 6): loss equivalence vs a
     single-device run of the same params/batch, not just finiteness."""

@@ -8,6 +8,7 @@ import numpy as np
 from forde_tpu.models.decoder_lm import FORDEDecoderLM
 from forde_tpu.ops.quant import int8_dense, quantize_params, quantize_weight
 from tests.test_decoder_model import tiny_config
+import pytest
 
 
 def test_int8_dense_matches_fp_within_quant_error():
@@ -55,6 +56,7 @@ def _quant_pair(**kw):
     return model, variables, qmodel, qvars, ids
 
 
+@pytest.mark.slow
 def test_quantized_logits_close_unrolled_and_scanned():
     """RMS-relative logit error bound. Random init is the WORST case for
     this metric: logits are near zero (max ~0.4) so per-layer ~1% int8
@@ -87,6 +89,7 @@ def test_quantized_generate_cached_runs():
     assert (out >= 0).all() and (out < qmodel.config.vocab_size).all()
 
 
+@pytest.mark.slow
 def test_serve_quantize_smoke(tmp_path, capsys):
     from forde_tpu import serve
     from forde_tpu.train import loop as train_loop
@@ -111,6 +114,7 @@ def test_serve_quantize_smoke(tmp_path, capsys):
     assert ids[:3] == [5, 17, 20] and len(ids) == 7
 
 
+@pytest.mark.slow
 def test_quantized_moe_experts_and_nsa_config():
     """Default-family configs: MoE experts quantize (dense AND capacity
     dispatch); NSA configs quantize experts+lm_head while the NSA branch
@@ -148,6 +152,7 @@ def test_quantized_moe_experts_and_nsa_config():
         assert rms_rel < 0.25, (kw, rms_rel)
 
 
+@pytest.mark.slow
 def test_quantized_nsa_generate_cached_runs():
     from forde_tpu.models.generate import generate_cached
 
@@ -168,6 +173,7 @@ def test_quantized_nsa_generate_cached_runs():
     np.testing.assert_array_equal(out[0, :3], [5, 17, 200])
 
 
+@pytest.mark.slow
 def test_quantized_tensor_parallel_serving():
     """int8 serving composes with Megatron TP: kernel_q/scale leaves pick
     up model-axis shardings (core/mesh.tp_param_spec) and the sharded

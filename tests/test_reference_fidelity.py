@@ -143,7 +143,10 @@ def _transplant(ref_params, kwargs):
     return ours
 
 
-@pytest.mark.parametrize("impl", ["reference", "interpret"])
+@pytest.mark.parametrize(
+    "impl",
+    [pytest.param("reference", marks=pytest.mark.slow), "interpret"],
+)
 def test_decoder_matches_reference_with_transplanted_weights(impl):
     RefModel, RefConfig = _load_reference()
     kwargs = _shared_config_kwargs()
