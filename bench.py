@@ -51,7 +51,11 @@ DEFAULT_BATCH = {
 
 
 def run_preset(
-    preset: str, batch_size: int, steps: int, sense_interval: int = 1
+    preset: str,
+    batch_size: int,
+    steps: int,
+    sense_interval: int = 1,
+    scan_k: int = 0,
 ) -> float:
     from forde_tpu.core.config import (
         DTypePolicy,
@@ -105,35 +109,52 @@ def run_preset(
     # (PERF.md round 2), which is real overhead at ~50 ms steps; the scan
     # measures the steady-state compute rate without it. Default off so
     # the headline stays the per-step-dispatched number.
-    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
+    scan_k = scan_k or int(os.environ.get("BENCH_SCAN", "0"))
     if scan_k > 1:
         import functools
 
+        # NOTE: batch must be a jit ARGUMENT, not a closure capture — a
+        # captured device array is baked into the HLO as a constant
+        # (77 MB of image data at ViT-B/128), which blows the axon
+        # tunnel's remote-compile request-size limit (HTTP 413).
+        #
+        # The sensing stride is expressed STATICALLY (outer scan over
+        # groups of [1 sensed step + inner scan of stride-1 unsensed
+        # steps]), never as a lax.cond on the step index: a cond forces
+        # the full carry (params + moments + stats) to materialize at
+        # the branch join every step, which destroys exactly the fusion
+        # that makes the unsensed step cheap — measured on chip as the
+        # entire sense8 gain vanishing (9,501 -> 9,319 pairs/s).
+        group = sense_interval if nosense is not None else 1
+        n_groups = max(scan_k // group, 1)
+
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def multi_step(state):
-            def body(carry, i):
-                if nosense is not None:
-                    s, m = jax.lax.cond(
-                        i % sense_interval == 0,
-                        lambda s: clip_train_step(s, batch),
-                        lambda s: nosense(s, batch),
-                        carry,
+        def multi_step(state, batch):
+            def body(carry, _):
+                s, m = clip_train_step(carry, batch)
+                if group > 1:
+                    def inner(c, _):
+                        s2, m2 = nosense(c, batch)
+                        return s2, m2["loss/contrastive"]
+
+                    s, losses = jax.lax.scan(
+                        inner, s, None, length=group - 1
                     )
-                else:
-                    s, m = clip_train_step(carry, batch)
+                    return s, losses[-1]
                 return s, m["loss/contrastive"]
 
-            return jax.lax.scan(body, state, jnp.arange(scan_k))
+            return jax.lax.scan(body, state, None, length=n_groups)
 
-        state, losses = multi_step(state)  # warmup/compile
+        steps_per_call = n_groups * group
+        state, losses = multi_step(state, batch)  # warmup/compile
         float(losses[-1])
         t0 = time.perf_counter()
-        for _ in range(max(steps // scan_k, 1)):
-            state, losses = multi_step(state)
+        for _ in range(max(steps // steps_per_call, 1)):
+            state, losses = multi_step(state, batch)
         loss_sync = float(losses[-1])
         dt = time.perf_counter() - t0
         assert np.isfinite(loss_sync), f"non-finite loss {loss_sync}"
-        n = max(steps // scan_k, 1) * scan_k
+        n = max(steps // steps_per_call, 1) * steps_per_call
         return n * batch_size / dt / jax.device_count()
 
     def one_step(i, state):
@@ -161,8 +182,14 @@ def run_preset(
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "both")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # Headline = vit_b16_hd128, the production ViT-B preset since round 4
+    # (same parameter shapes/count as vit_b16 — H*D stays 768/512 — but
+    # 128-wide head lanes, +8% measured; PERF.md round 4). vit_b16 stays
+    # as an extra for cross-round continuity with BENCH_r01-r03.
     presets = (
-        ["vit_b16", "tiny", "tiny_hd128"] if preset == "both" else [preset]
+        ["vit_b16_hd128", "vit_b16", "tiny_hd128"]
+        if preset == "both"
+        else [preset]
     )
 
     rates = {}
@@ -176,6 +203,22 @@ def main() -> None:
         batch = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[headline]))
         rates[f"{headline}_sense{stride}"] = round(
             run_preset(headline, batch, max(steps, 2 * stride), stride), 2
+        )
+    # Device-resident production shape for the tiny family: sense-strided
+    # steps scanned inside one jit call (no per-step dispatch through the
+    # axon tunnel — the shape a prefetch-fed training loop actually runs).
+    # This is the 10k-north-star chase configuration; see PERF.md round 4.
+    scan_extra = int(os.environ.get("BENCH_SCAN_EXTRA", "16"))
+    if preset == "both" and stride > 1 and scan_extra > 1:
+        rates[f"tiny_hd128_sense{stride}_scan{scan_extra}"] = round(
+            run_preset(
+                "tiny_hd128",
+                int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH["tiny_hd128"])),
+                max(steps, 4 * scan_extra),
+                stride,
+                scan_k=scan_extra,
+            ),
+            2,
         )
     out = {
         "metric": f"image_text_pairs_per_sec_per_chip_{headline}_bf16",

@@ -27,18 +27,34 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="vit_b16", choices=["vit_b16", "tiny"])
+    ap.add_argument(
+        "--preset", default="vit_b16",
+        choices=["vit_b16", "tiny", "vit_b16_hd128", "tiny_hd128"],
+    )
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--outdir", default="")
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
-    from forde_tpu.core.config import DTypePolicy, vit_b16_config, vit_tiny_config
+    from forde_tpu.core.config import (
+        DTypePolicy,
+        vit_b16_config,
+        vit_b16_hd128_config,
+        vit_tiny_config,
+        vit_tiny_hd128_config,
+    )
     from forde_tpu.train.clip_step import clip_train_step, create_clip_train_state
 
-    batch_size = args.batch or {"vit_b16": 128, "tiny": 512}[args.preset]
-    cfg = vit_b16_config() if args.preset == "vit_b16" else vit_tiny_config()
+    batch_size = args.batch or {
+        "vit_b16": 128, "tiny": 512, "vit_b16_hd128": 128, "tiny_hd128": 512,
+    }[args.preset]
+    cfg = {
+        "vit_b16": vit_b16_config,
+        "tiny": vit_tiny_config,
+        "vit_b16_hd128": vit_b16_hd128_config,
+        "tiny_hd128": vit_tiny_hd128_config,
+    }[args.preset]()
     cfg = cfg.replace(dtypes=DTypePolicy.bf16(), forde_lite=False)
     state = create_clip_train_state(
         cfg, jax.random.PRNGKey(0), 1e-4, 0.01,
@@ -77,22 +93,18 @@ def main() -> None:
     xplane = max(xplanes, key=os.path.getmtime)
     print(f"xplane: {xplane}")
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # tensorboard_plugin_profile is version-broken in this image; parse
+    # the proto directly (and in a subprocess: the pure-python protobuf
+    # fallback it may need must be set before protobuf first loads).
+    import subprocess
 
-    for tool in ("framework_op_stats", "tensorflow_stats", "op_profile"):
-        try:
-            data = rtd.xspace_to_tool_data([xplane], tool, {})
-        except Exception as e:
-            print(f"[{tool}] failed: {type(e).__name__}: {e}")
-            continue
-        if isinstance(data, tuple):
-            data = data[0]
-        out = os.path.join(outdir, f"{tool}.out")
-        mode = "wb" if isinstance(data, bytes) else "w"
-        with open(out, mode) as f:
-            f.write(data)
-        print(f"[{tool}] wrote {out} ({len(data)} units)")
-        break
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "xplane_summary.py"),
+         xplane, str(args.steps)],
+        check=False,
+    )
 
 
 if __name__ == "__main__":

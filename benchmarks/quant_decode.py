@@ -60,11 +60,11 @@ def main():
     model = FORDEDecoderLM(config=cfg)
     prompt = jnp.ones((1, args.prompt_len), jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), prompt)
+    # stats_buffer only exists when MoE is on; carry whatever non-param
+    # collections init produced.
+    extra = {k: v for k, v in variables.items() if k != "params"}
     qmodel = FORDEDecoderLM(config=cfg.replace(quantized=True))
-    qvars = {
-        "params": quantize_params(variables["params"]),
-        "stats_buffer": variables["stats_buffer"],
-    }
+    qvars = {"params": quantize_params(variables["params"]), **extra}
 
     def run(m, v, tag):
         out = generate_cached(
@@ -86,8 +86,7 @@ def main():
               f"= {rate:,.0f} tok/s (batch 1)")
         return rate
 
-    fp = run(model, {"params": variables["params"],
-                     "stats_buffer": variables["stats_buffer"]}, "fp/bf16")
+    fp = run(model, {"params": variables["params"], **extra}, "fp/bf16")
     q = run(qmodel, qvars, "int8   ")
     print(f"int8 speedup: {q / fp:.2f}x")
 

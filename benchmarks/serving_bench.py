@@ -136,12 +136,13 @@ def run_ragged(model, variables, prompts, budgets, warm):
     return time.perf_counter() - t0
 
 
-def run_pool(model, variables, prompts, budgets, rows, warm, chunk=None):
+def run_pool(model, variables, prompts, budgets, rows, warm, chunk=None,
+             fuse=1):
     from forde_tpu.models.decode_pool import DecodePool
 
     def once():
         pool = DecodePool(model, variables, rows=rows, temperature=0.0,
-                          prefill_chunk=chunk)
+                          prefill_chunk=chunk, decode_fuse=fuse)
         for p, b in zip(prompts, budgets):
             pool.submit(p, max_new_tokens=int(b))
         n_done, ticks = 0, 0
@@ -202,7 +203,7 @@ def _pctl(xs, q):
 
 
 def run_load_pool(model, variables, prompts, budgets, arrivals, rows,
-                  chunk=None, prefix=None, warm=True):
+                  chunk=None, prefix=None, warm=True, fuse=1):
     """Open-loop Poisson load against the continuous pool.
 
     Requests become visible at their arrival times; the pool is ticked
@@ -214,7 +215,7 @@ def run_load_pool(model, variables, prompts, budgets, arrivals, rows,
 
     def once():
         pool = DecodePool(model, variables, rows=rows, temperature=0.0,
-                          prefill_chunk=chunk)
+                          prefill_chunk=chunk, decode_fuse=fuse)
         pid = pool.register_prefix(prefix) if prefix is not None else None
         rec = {}
         first = {}
@@ -330,6 +331,9 @@ def main():
                     help="shared system-prompt length for the prefix mode")
     ap.add_argument("--prefill_chunk", type=int, default=None,
                     help="continuous mode: chunked prefill size")
+    ap.add_argument("--decode_fuse", type=int, default=0,
+                    help="continuous mode: decode k tokens per dispatch "
+                         "(0 = off); adds fused variants to the reports")
     ap.add_argument("--skip", default="",
                     help="comma list: sequential,ragged,continuous,prefix,load")
     ap.add_argument("--load_rate", type=float, default=0.0,
@@ -377,6 +381,17 @@ def main():
             "out_tok_per_s": round(tokens / dt, 1),
             "ticks": ticks, "prefill_chunk": args.prefill_chunk,
         }), flush=True)
+        if args.decode_fuse > 1:
+            dt, ticks = run_pool(
+                model, variables, prompts, budgets, args.rows, warm,
+                chunk=args.prefill_chunk, fuse=args.decode_fuse,
+            )
+            print(json.dumps({
+                "mode": "continuous_pool_fused", "wall_s": round(dt, 3),
+                "out_tok_per_s": round(tokens / dt, 1),
+                "ticks": ticks, "decode_fuse": args.decode_fuse,
+                "prefill_chunk": args.prefill_chunk,
+            }), flush=True)
     if "prefix" not in skip:
         plen = min(
             args.prefix_len,
@@ -434,6 +449,15 @@ def main():
         )
         report("load_continuous", recs, mk,
                prefix_len=len(prefix) if prefix else 0)
+        if args.decode_fuse > 1:
+            recs, mk = run_load_pool(
+                model, variables, prompts, budgets, arrivals, args.rows,
+                chunk=None, prefix=prefix, warm=warm,
+                fuse=args.decode_fuse,
+            )
+            report("load_continuous_fused", recs, mk,
+                   decode_fuse=args.decode_fuse,
+                   prefix_len=len(prefix) if prefix else 0)
         if args.prefill_chunk:
             recs, mk = run_load_pool(
                 model, variables, prompts, budgets, arrivals, args.rows,

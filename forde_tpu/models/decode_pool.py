@@ -21,7 +21,8 @@ both with static shapes XLA can live with:
 
 All shapes are static: the pool size, the bucketed prefill lengths and
 the per-step (rows, 1) token tensor never change, so the engine runs
-exactly 1 + log2(max_seq_len) compiled programs for its whole life.
+exactly 1 + log2(max_seq_len) compiled programs for its whole life
+(plus one k-token fused-step program when ``decode_fuse > 1``).
 
 Serving extras on top:
 
@@ -172,6 +173,46 @@ def _insert_row(pool_cache, row_cache, slot):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("model", "k"), donate_argnums=(2,)
+)
+def _step_pool_k(
+    model, variables, cache, tokens, positions, key, temps, topks, topps,
+    *, k,
+):
+    """Advance every pool row k tokens in ONE dispatch (lax.scan).
+
+    The single-token ``_step_pool`` pays the host->device dispatch
+    latency (~2 ms through the axon tunnel) every token — comparable to
+    the step compute itself at small scales. Scanning k steps inside one
+    jit amortizes it k-fold. Per-row positions advance with the scan
+    index; a row that hits EOS/budget mid-scan keeps decoding into its
+    own cache rows, which is unobservable: the host discards its surplus
+    tokens, the slot frees, and the next insert replaces the whole row
+    (and an unfinished row overwrites by position before ever attending
+    that far). Returns (cache, (k, rows) tokens)."""
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+
+    def body(carry, i):
+        cache, toks = carry
+        pos = jnp.clip(positions + i, 0, model.config.max_seq_len - 1)
+        (logits, _), updated = model.apply(
+            {**model_vars, "cache": cache}, toks[:, None], None, True,
+            True, pos, mutable=["cache", "stats_buffer"],
+        )
+        nxt = sample_rows(
+            logits[:, 0, :].astype(jnp.float32),
+            jax.random.fold_in(key, i), temps, topks, topps,
+        )
+        return (updated["cache"], nxt), nxt
+
+    (cache, _), out = jax.lax.scan(body, (cache, tokens), jnp.arange(k))
+    return cache, out
+
+
+@functools.partial(
     jax.jit, static_argnames=("model",), donate_argnums=(2,)
 )
 def _step_pool(
@@ -223,6 +264,7 @@ class DecodePool:
         seed: int = 0,
         min_prefill_bucket: int = 8,
         prefill_chunk: Optional[int] = None,
+        decode_fuse: int = 1,
     ):
         """``prefill_chunk``: process prompt prefills in fixed-size
         chunks, ONE chunk per scheduler tick, instead of one whole-prompt
@@ -230,7 +272,22 @@ class DecodePool:
         by at most one chunk per tick rather than its full prefill
         latency. Token-exact vs one-shot prefill (chunked decode-mode
         applies are the same math). Prompts whose chunk-aligned span
-        would spill past the cache end fall back to one-shot."""
+        would spill past the cache end fall back to one-shot.
+
+        ``decode_fuse``: advance the pool ``decode_fuse`` tokens per
+        dispatch via ``_step_pool_k`` instead of one — amortizing the
+        per-dispatch host latency, the dominant cost of small-scale
+        pools (PERF.md round 4: 173 ticks x ~2 ms ~= 6 s of a 10 s
+        makespan). Decode rows are independent, so a later admission
+        never changes other rows' outputs: fusing is token-exact vs
+        unfused at temperature 0 (for sampled rows the RNG stream
+        differs: fold_in per scan index vs split per tick). Costs:
+        admission/TTFT gains a bounded k-1 decode steps (a few ms) in
+        the worst case, surplus row-steps past a mid-scan EOS are
+        discarded, and streaming callbacks fire in order but arrive in
+        bursts of up to ``decode_fuse``. While a chunked prefill is in
+        flight the scheduler drops to single-token ticks (chunks advance
+        one per tick by construction)."""
         if model.config.use_sparse_attention:
             raise ValueError(
                 "DecodePool supports dense-causal configs only (same "
@@ -253,6 +310,7 @@ class DecodePool:
         if prefill_chunk is not None:
             prefill_chunk = max(1, min(prefill_chunk, model.config.max_seq_len))
         self.prefill_chunk = prefill_chunk
+        self.decode_fuse = max(1, int(decode_fuse))
         self._filling = [None] * rows  # chunked-prefill state per slot
         self._key = jax.random.PRNGKey(seed)
         self._steps = 0
@@ -499,6 +557,47 @@ class DecodePool:
         # the no-filter program skips the vocab sort; pick it whenever no
         # active row asked for top-k/top-p (two step programs at most)
         filtered = bool(((self.topks > 0) | (self.topps < 1.0)).any())
+        # Fuse unless a chunked prefill is in flight (those must advance
+        # one chunk per tick). A non-empty queue does NOT block fusing:
+        # _fill_slots already admitted into every free slot, so queue
+        # non-empty ⇒ all rows busy ⇒ no join is possible this tick
+        # anyway — a fused dispatch delays a mid-scan finisher's
+        # replacement (and any new arrival) by at most k-1 decode steps,
+        # a few ms, vs saving (k-1) × ~2 ms dispatch latency per tick.
+        fuse = self.decode_fuse
+        if fuse > 1 and any(st is not None for st in self._filling):
+            fuse = 1
+        if fuse > 1:
+            self.cache, toks = _step_pool_k(
+                self.model, self.variables, self.cache, self.tokens,
+                jnp.asarray(self.positions, jnp.int32), k,
+                jnp.asarray(self.temps),
+                jnp.asarray(self.topks) if filtered else None,
+                jnp.asarray(self.topps) if filtered else None,
+                k=fuse,
+            )
+            self.tokens = toks[-1]
+            self._steps += fuse
+            toks_host = np.asarray(toks)  # (fuse, rows)
+            for slot in range(self.rows):
+                if not self.active[slot]:
+                    continue
+                req = self._slot_req[slot]
+                for j in range(fuse):
+                    tok = int(toks_host[j, slot])
+                    req["out"].append(tok)
+                    req["left"] -= 1
+                    self.positions[slot] += 1
+                    if req["cb"] is not None:
+                        req["cb"](req["id"], tok)
+                    if req["left"] == 0 or tok == req["eos"]:
+                        # surplus scan tokens are discarded; the slot's
+                        # cache rows beyond this point hold garbage that
+                        # the next insert (or a by-position overwrite)
+                        # replaces before anything attends to it
+                        finished.append(self._finish(slot))
+                        break
+            return finished
         self.cache, nxt = _step_pool(
             self.model, self.variables, self.cache, self.tokens,
             jnp.asarray(self.positions, jnp.int32), k,

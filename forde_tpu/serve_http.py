@@ -289,6 +289,7 @@ class ContinuousBatcher:
             temperature=args.temperature, top_k=args.top_k,
             top_p=args.top_p, seed=args.seed,
             prefill_chunk=args.prefill_chunk,
+            decode_fuse=getattr(args, "decode_fuse", 1) or 1,
         )
         self._prefix_id, self.prefix_len = None, 0
         if getattr(args, "prefix_ids", None):
@@ -435,6 +436,7 @@ class ContinuousBatcher:
                     top_k=self.args.top_k, top_p=self.args.top_p,
                     seed=self.args.seed,
                     prefill_chunk=self.args.prefill_chunk,
+                    decode_fuse=getattr(self.args, "decode_fuse", 1) or 1,
                 )
                 if self._prefix_id is not None:
                     prefix = [
@@ -647,6 +649,12 @@ def add_server_args(p):
                         "chunks, one per scheduler tick — a long prompt "
                         "then delays active rows by one chunk per tick "
                         "instead of its whole prefill (token-exact)")
+    p.add_argument("--decode_fuse", type=int, default=1,
+                   help="continuous mode: decode k tokens per dispatch "
+                        "(one scanned program) — amortizes per-dispatch "
+                        "latency; admission waits at most k-1 decode "
+                        "steps and streamed tokens arrive in bursts of "
+                        "up to k")
     return p
 
 

@@ -62,6 +62,7 @@ def test_pool_more_requests_than_rows_all_exact():
         )
 
 
+@pytest.mark.slow
 def test_pool_mid_flight_join_and_eos():
     """A request submitted while others are mid-decode joins a free slot
     without disturbing them; EOS frees a slot early."""
@@ -90,6 +91,61 @@ def test_pool_mid_flight_join_and_eos():
     assert results[r0] == ref0[: len(p0) + 2]
     assert results[r1] == _single(model, variables, p1, 5)
     assert results[r2] == _single(model, variables, p2, 3)
+
+
+@pytest.mark.slow
+def test_pool_decode_fuse_token_exact():
+    """decode_fuse=4 (k-token fused scan steps) must produce exactly the
+    unfused greedy outputs — including rows that hit EOS or exhaust
+    their budget MID-scan (their surplus scan tokens are discarded) and
+    a request that joins after the pool went fused (admission happens at
+    the next tick boundary; decode rows are independent, so the later
+    join never perturbs other rows' tokens)."""
+    from forde_tpu.models.decode_pool import DecodePool
+
+    cfg, model, variables = _fixture()
+    p0, p1 = [5, 17, 20], [9, 9]
+    ref0 = _single(model, variables, p0, 10)
+    eos0 = ref0[len(p0) + 2]  # third generated token ends request 0
+
+    pool = DecodePool(model, variables, rows=2, temperature=0.0,
+                      decode_fuse=4)
+    r0 = pool.submit(p0, max_new_tokens=10, eos_id=eos0)
+    r1 = pool.submit(p1, max_new_tokens=9)  # budget not divisible by 4
+    results = {}
+    ticks = 0
+    joined = False
+    while pool.pending() or not joined:
+        if ticks == 1 and not joined:
+            r2 = pool.submit([7, 3, 11], max_new_tokens=5)
+            joined = True
+        for rid, out in pool.tick():
+            results[rid] = out
+        ticks += 1
+        assert ticks < 100
+    assert results[r0] == ref0[: len(p0) + 3]  # stopped at eos mid-scan
+    assert results[r1] == _single(model, variables, p1, 9)
+    assert results[r2] == _single(model, variables, [7, 3, 11], 5)
+
+
+@pytest.mark.slow
+def test_pool_decode_fuse_streams_in_order():
+    """Fused ticks still fire the on_token callback once per accepted
+    token, in generation order."""
+    from forde_tpu.models.decode_pool import DecodePool
+
+    cfg, model, variables = _fixture()
+    p = [5, 17, 20]
+    ref = _single(model, variables, p, 6)
+
+    pool = DecodePool(model, variables, rows=2, temperature=0.0,
+                      decode_fuse=4)
+    seen = []
+    pool.submit(p, max_new_tokens=6,
+                on_token=lambda rid, tok: seen.append(tok))
+    while pool.pending():
+        pool.tick()
+    assert seen == ref[len(p):]
 
 
 def test_pool_rejects_nsa():
