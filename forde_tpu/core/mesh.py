@@ -153,6 +153,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(AXIS_DATA))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(k, B, ...) super-batches for fused multi-step training
+    (train/clip_step.make_fused_step): the scan axis is unsharded, the
+    batch axis shards over ``data``."""
+    return NamedSharding(mesh, P(None, AXIS_DATA))
+
+
 def tokens_sharding(mesh: Mesh) -> NamedSharding:
     """(B, S) token batches: batch over ``data``, sequence over
     ``context`` when context parallelism is active."""

@@ -34,33 +34,48 @@ class SyntheticVLDataset:
         text_len: int = MAX_TEXT_LENGTH,
         vocab_size: int = 30522,
         seed: int = 42,
+        pool: int = 0,
     ):
+        """``pool`` > 0 pregenerates that many distinct batches and
+        cycles them. Fresh per-batch generation costs ~80 ms of host
+        numpy per 512-row batch — slower than a fused tiny train step,
+        so throughput benchmarks with ``pool=0`` measure the host RNG,
+        not the model (clip_loop ``--dummy_pool``)."""
         self.batch_size = batch_size
         self.num_batches = num_batches
         self.image_size = image_size
         self.text_len = text_len
         self.vocab_size = vocab_size
         self.seed = seed
+        self.pool = pool
 
     def __len__(self):
         return self.num_batches
 
+    def _gen(self, rng) -> Dict[str, np.ndarray]:
+        lengths = rng.randint(4, self.text_len + 1, size=self.batch_size)
+        input_ids = np.zeros((self.batch_size, self.text_len), np.int32)
+        mask = np.zeros((self.batch_size, self.text_len), np.int32)
+        for i, ln in enumerate(lengths):
+            input_ids[i, :ln] = rng.randint(1, self.vocab_size, size=ln)
+            mask[i, :ln] = 1
+        return {
+            "image": rng.rand(
+                self.batch_size, self.image_size, self.image_size, 3
+            ).astype(np.float32),
+            "input_ids": input_ids,
+            "attention_mask": mask,
+        }
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(self.seed)
+        if self.pool > 0:
+            cache = [self._gen(rng) for _ in range(self.pool)]
+            for i in range(self.num_batches):
+                yield cache[i % self.pool]
+            return
         for _ in range(self.num_batches):
-            lengths = rng.randint(4, self.text_len + 1, size=self.batch_size)
-            input_ids = np.zeros((self.batch_size, self.text_len), np.int32)
-            mask = np.zeros((self.batch_size, self.text_len), np.int32)
-            for i, ln in enumerate(lengths):
-                input_ids[i, :ln] = rng.randint(1, self.vocab_size, size=ln)
-                mask[i, :ln] = 1
-            yield {
-                "image": rng.rand(
-                    self.batch_size, self.image_size, self.image_size, 3
-                ).astype(np.float32),
-                "input_ids": input_ids,
-                "attention_mask": mask,
-            }
+            yield self._gen(rng)
 
 
 class AlignedSyntheticVLDataset:

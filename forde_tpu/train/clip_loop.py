@@ -24,6 +24,7 @@ from forde_tpu.core.config import (
     BrainConfig,
     DTypePolicy,
     DualEncoderConfig,
+    TowerConfig,
     vit_b16_config,
     vit_tiny_config,
     vit_tiny_hd128_config,
@@ -43,7 +44,9 @@ from forde_tpu.train import checkpoint as ckpt_lib
 from forde_tpu.train.clip_step import (
     clip_train_step,
     create_clip_train_state,
+    make_fused_step,
     make_nosense_step,
+    stack_batches,
 )
 
 
@@ -87,11 +90,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "k>1 trades sensing sample count for throughput "
                         "with the same optimization trajectory "
                         "(tests/test_sense_stride.py).")
+    p.add_argument("--fuse_steps", type=int, default=1,
+                   help="run k optimizer steps per dispatch as ONE "
+                        "scanned program over a stacked batch "
+                        "(train/clip_step.make_fused_step) — removes "
+                        "the per-step host dispatch (~2 ms on the axon "
+                        "tunnel) from the step cadence; identical math "
+                        "and step order to k unfused steps "
+                        "(tests/test_fuse_steps.py). Must be a multiple "
+                        "of --sense_interval; log/slow-loop/eval "
+                        "cadences round up to fuse boundaries.")
     p.add_argument("--forde_lite", action="store_true",
                    help="rule-based assignments instead of GMM (README.md:58)")
     p.add_argument("--gmm", action="store_true",
                    help="force GMM clustering (overrides a preset's forde_lite)")
     p.add_argument("--use_dummy_data", action="store_true")
+    p.add_argument("--dummy_pool", type=int, default=0,
+                   help="with --use_dummy_data: pregenerate this many "
+                        "batches and cycle them (0 = fresh host RNG per "
+                        "batch, which caps throughput at ~10 batches/s "
+                        "— use a pool for throughput measurements)")
     p.add_argument("--use_aligned_data", action="store_true",
                    help="procedurally aligned (image, caption) pairs — "
                         "learnable offline; eval uses held-out classes")
@@ -117,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--patch_size", type=int, default=16)
     p.add_argument("--embed_dim", type=int, default=512)
+    p.add_argument("--tower_layers", type=int, default=0,
+                   help="custom preset: override both towers' num_layers")
+    p.add_argument("--tower_dim", type=int, default=0,
+                   help="custom preset: override both towers' d_model "
+                        "(heads/head_dim/mlp scale with it)")
     return p
 
 
@@ -128,10 +151,21 @@ def config_from_args(args) -> DualEncoderConfig:
     elif args.preset == "tiny_hd128":
         cfg = vit_tiny_hd128_config()
     else:
+        towers = {}
+        if args.tower_dim or args.tower_layers:
+            d = args.tower_dim or 512
+            heads = max(2, d // 64)
+            tower = TowerConfig(
+                d_model=d, num_layers=args.tower_layers or 12,
+                num_heads=heads, head_dim=d // heads,
+                mlp_hidden_dim=4 * d,
+            )
+            towers = {"vision": tower, "text": tower}
         cfg = DualEncoderConfig(
             image_size=args.image_size,
             patch_size=args.patch_size,
             embed_dim=args.embed_dim,
+            **towers,
         )
     if args.forde_lite:
         cfg = cfg.replace(forde_lite=True)
@@ -245,6 +279,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         dataset = SyntheticVLDataset(
             args.batch_size, args.num_steps, image_size=cfg.image_size,
             text_len=args.text_len, vocab_size=cfg.vocab_size,
+            pool=args.dummy_pool,
         )
         if args.eval_interval > 0:
             eval_batches = list(SyntheticVLDataset(
@@ -275,7 +310,28 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         sensed_step = with_ema(clip_train_step, args.ema_decay)
         if nosense_step is not None:
             nosense_step = with_ema(nosense_step, args.ema_decay)
-    meter = ThroughputMeter(items_per_step=args.batch_size)
+    fuse = max(1, args.fuse_steps)
+    fused_step = None
+    if fuse > 1:
+        if args.sense_interval > 1 and fuse % args.sense_interval:
+            raise SystemExit(
+                f"--fuse_steps ({fuse}) must be a multiple of "
+                f"--sense_interval ({args.sense_interval})"
+            )
+        # Host-side cadences fire on `step % interval == 0` and step now
+        # advances by `fuse` per dispatch — round them up to boundaries.
+        for name in ("log_interval", "slow_loop_interval", "eval_interval"):
+            v = getattr(args, name)
+            if v > 0 and v % fuse:
+                rounded = ((v + fuse - 1) // fuse) * fuse
+                print(f"--{name} {v} -> {rounded} (rounded to a "
+                      f"--fuse_steps boundary)")
+                setattr(args, name, rounded)
+        fused_step = make_fused_step(
+            cfg, fuse, args.sense_interval,
+            sensed_step=sensed_step, nosense_step=nosense_step,
+        )
+    meter = ThroughputMeter(items_per_step=args.batch_size * fuse)
     sharding = mesh_lib.batch_sharding(mesh)
     step = int(state.step)
     last = {}
@@ -302,14 +358,51 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     try:
-        for batch in prefetch_to_device(iter(dataset), sharding=sharding):
+        if args.use_dummy_data and args.dummy_pool:
+            # Device-resident pool: upload each distinct batch ONCE and
+            # cycle device arrays (with --fuse_steps: pre-stacked super-
+            # batches). Re-uploading 25 MB images through the axon
+            # tunnel every cycle would measure the tunnel, not the step.
+            import itertools as _it
+
+            raw = [
+                jax.device_put(b, sharding)
+                for b in _it.islice(iter(dataset), max(args.dummy_pool, fuse))
+            ]
+            if fuse > 1:
+                pool = list(stack_batches(
+                    iter(raw), fuse,
+                    sharding=mesh_lib.stacked_batch_sharding(mesh),
+                ))
+            else:
+                pool = raw
+
+            def _cycle(items):
+                i = 0
+                while True:
+                    yield items[i % len(items)]
+                    i += 1
+
+            batches = _cycle(pool)
+        else:
+            batches = prefetch_to_device(iter(dataset), sharding=sharding)
+            if fuse > 1:
+                batches = stack_batches(
+                    batches, fuse,
+                    sharding=mesh_lib.stacked_batch_sharding(mesh),
+                )
+        for batch in batches:
             if stop_requested:
                 break
-            if nosense_step is not None and step % args.sense_interval:
-                state, metrics = nosense_step(state, batch)
+            if fuse > 1:
+                state, metrics = fused_step(state, batch)
+                step += fuse
             else:
-                state, metrics = sensed_step(state, batch)
-            step += 1
+                if nosense_step is not None and step % args.sense_interval:
+                    state, metrics = nosense_step(state, batch)
+                else:
+                    state, metrics = sensed_step(state, batch)
+                step += 1
             if meter._steps == 0:
                 print(f"first step dispatched at step {step}", flush=True)
             meter.step()
@@ -329,6 +422,11 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                     f"grad_norm {last['training/grad_norm']:.2f} "
                     f"{pps:,.0f} pairs/s/chip"
                 )
+                if step <= args.log_interval:
+                    # first logged window is dominated by compiles (the
+                    # float() above just paid them); restart the meter so
+                    # later prints report the warm steady-state rate
+                    meter.reset()
 
             if args.slow_loop_interval > 0 and step % args.slow_loop_interval == 0:
                 rng, slow_key = jax.random.split(rng)

@@ -180,6 +180,93 @@ def make_nosense_step(config: DualEncoderConfig):
     return step
 
 
+def make_fused_step(
+    config: DualEncoderConfig,
+    n_steps: int,
+    sense_interval: int = 1,
+    sensed_step=None,
+    nosense_step=None,
+):
+    """``n_steps`` optimizer steps in ONE jitted program over a stacked
+    batch — the production shape once batches are device-resident
+    (data/prefetch.py): per-step dispatch through the host costs ~2 ms
+    on the axon tunnel (PERF.md round 2), real overhead against a
+    ~50 ms step.
+
+    The sensing stride is expressed STATICALLY — an outer ``lax.scan``
+    over groups of [1 sensed step + an inner scan of
+    ``sense_interval - 1`` unsensed steps] — never as a ``lax.cond`` on
+    the step index: a cond forces the full carry (params + moments +
+    stats) to materialize at the branch join every step, destroying the
+    fusion that makes the unsensed step cheap (measured on chip as the
+    entire sense-stride gain vanishing, 9,501 → 9,319 pairs/s; PERF.md
+    round 4).
+
+    ``sensed_step``/``nosense_step`` default to ``clip_train_step`` /
+    ``make_nosense_step(config)``; pass EMA-wrapped variants to keep
+    ``--ema_decay`` semantics. Requires ``n_steps %% sense_interval ==
+    0`` so every fused call runs whole groups. The stacked batch has a
+    leading ``(n_steps,)`` axis; step order (and therefore math) is
+    identical to the unfused loop — sensed at offsets 0, k, 2k, …
+    Returns ``(state, metrics-of-last-step)``.
+    """
+    sensed = sensed_step if sensed_step is not None else clip_train_step
+    group = int(sense_interval) if sense_interval > 1 else 1
+    if n_steps <= 0 or n_steps % group:
+        raise ValueError(
+            f"n_steps ({n_steps}) must be a positive multiple of "
+            f"sense_interval ({group})"
+        )
+    nosense = None
+    if group > 1:
+        nosense = (
+            nosense_step if nosense_step is not None
+            else make_nosense_step(config)
+        )
+    n_groups = n_steps // group
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused(state: CLIPTrainState, stacked: Dict):
+        grouped = jax.tree.map(
+            lambda x: x.reshape((n_groups, group) + x.shape[1:]), stacked
+        )
+
+        def body(carry, gb):
+            s, m = sensed(carry, jax.tree.map(lambda x: x[0], gb))
+            if group > 1:
+                def inner(c, b):
+                    return nosense(c, b)
+
+                s, ms = jax.lax.scan(
+                    inner, s, jax.tree.map(lambda x: x[1:], gb)
+                )
+                m = jax.tree.map(lambda x: x[-1], ms)
+            return s, m
+
+        state, ms = jax.lax.scan(body, state, grouped)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return fused
+
+
+def stack_batches(batch_iter, n: int, sharding=None):
+    """Group a device-batch iterator into stacked ``(n, ...)`` super-
+    batches for ``make_fused_step``. Drops a final partial group (an
+    epoch tail shorter than ``n``). ``sharding`` (e.g.
+    ``core.mesh.stacked_batch_sharding``) pins the stacked layout —
+    scan axis unsharded, batch axis over ``data`` — instead of leaving
+    it to inference from the per-batch inputs."""
+    buf = []
+    for b in batch_iter:
+        buf.append(b)
+        if len(buf) == n:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
+            if sharding is not None:
+                stacked = jax.device_put(stacked, sharding)
+            yield stacked
+            buf = []
+
+
 @jax.jit
 def clip_eval_embeddings(state: CLIPTrainState, batch: Dict):
     """Forward-only embeddings (no sensing mutation)."""
