@@ -104,6 +104,7 @@ def test_fused_equals_unfused_one_group(sense_interval):
         )
 
 
+@pytest.mark.slow
 def test_fused_multi_group_trajectory():
     """k=4, stride 2 (two groups). Adam chaotically amplifies the
     ~1e-8 fp-reorder noise (update ~ m/sqrt(v) is ill-conditioned for
