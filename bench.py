@@ -206,16 +206,20 @@ def main() -> None:
         )
     # Device-resident production shape for the tiny family: sense-strided
     # steps scanned inside one jit call (no per-step dispatch through the
-    # axon tunnel — the shape a prefetch-fed training loop actually runs).
-    # This is the 10k-north-star chase configuration; see PERF.md round 4.
-    scan_extra = int(os.environ.get("BENCH_SCAN_EXTRA", "16"))
-    if preset == "both" and stride > 1 and scan_extra > 1:
-        rates[f"tiny_hd128_sense{stride}_scan{scan_extra}"] = round(
+    # axon tunnel — the shape clip_loop --fuse_steps actually runs).
+    # Defaults to the configuration that crossed the 10k north star
+    # (sense 32 x scan 32 = 10,012 pairs/s/chip, PERF.md round 4; stride
+    # 32 still gives the slow loop >=15 stat samples per 500-step
+    # window).
+    scan_extra = int(os.environ.get("BENCH_SCAN_EXTRA", "32"))
+    scan_stride = int(os.environ.get("BENCH_SCAN_STRIDE", "32"))
+    if preset == "both" and scan_stride > 1 and scan_extra > 1:
+        rates[f"tiny_hd128_sense{scan_stride}_scan{scan_extra}"] = round(
             run_preset(
                 "tiny_hd128",
                 int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH["tiny_hd128"])),
-                max(steps, 4 * scan_extra),
-                stride,
+                max(steps, 3 * scan_extra),
+                scan_stride,
                 scan_k=scan_extra,
             ),
             2,

@@ -365,17 +365,22 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             # tunnel every cycle would measure the tunnel, not the step.
             import itertools as _it
 
-            raw = [
-                jax.device_put(b, sharding)
-                for b in _it.islice(iter(dataset), max(args.dummy_pool, fuse))
-            ]
+            def _device_batches():
+                # lazy: each raw device batch is freed once its super-
+                # batch is stacked — holding the whole raw pool AND the
+                # stacked pool doubled HBM and OOM'd the v5e at pool 32
+                for b in _it.islice(
+                    iter(dataset), max(args.dummy_pool, fuse)
+                ):
+                    yield jax.device_put(b, sharding)
+
             if fuse > 1:
                 pool = list(stack_batches(
-                    iter(raw), fuse,
+                    _device_batches(), fuse,
                     sharding=mesh_lib.stacked_batch_sharding(mesh),
                 ))
             else:
-                pool = raw
+                pool = list(_device_batches())
 
             def _cycle(items):
                 i = 0
