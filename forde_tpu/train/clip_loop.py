@@ -335,6 +335,7 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
     sharding = mesh_lib.batch_sharding(mesh)
     step = int(state.step)
     last = {}
+    dispatched_once = False
 
     # Graceful preemption (mirrors train/loop.py): SIGTERM/SIGINT break
     # at the next step boundary; the normal final force-save runs.
@@ -408,7 +409,8 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                 else:
                     state, metrics = sensed_step(state, batch)
                 step += 1
-            if meter._steps == 0:
+            if not dispatched_once:
+                dispatched_once = True
                 print(f"first step dispatched at step {step}", flush=True)
             meter.step()
 
