@@ -179,3 +179,57 @@ def test_http_continuous_batching_exact_and_overlapping(cont_server):
     assert stats["ticks"] >= 3
     assert stats["tokens_generated"] >= sum(budgets)
     assert stats["max_active_rows"] == 2  # the pool genuinely overlapped
+
+
+@pytest.fixture(scope="module")
+def fused_server():
+    from forde_tpu.serve_http import add_server_args, make_server
+    from forde_tpu.serve import build_parser
+
+    args = add_server_args(build_parser()).parse_args([
+        *SHAPE, "--port", "0", "--continuous", "--max_batch", "2",
+        "--decode_fuse", "4",
+    ])
+    srv, batcher = make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}", batcher
+    srv.shutdown()
+    batcher.stop()
+    srv.server_close()
+
+
+@pytest.mark.slow
+def test_http_continuous_fused_exact(fused_server):
+    """--decode_fuse 4 through the full HTTP stack: overlapping requests
+    whose budgets are NOT multiples of the fuse width (mid-scan budget
+    exhaustion) still return exact single-prompt greedy tokens."""
+    url, batcher = fused_server
+    prompts = [[5, 17, 20], [9, 9], [7, 3, 11, 8, 2]]
+    budgets = [3, 2, 3]  # all < fuse width
+    results = [None] * len(prompts)
+
+    def worker(i):
+        results[i] = _post(
+            url, {"prompt_ids": prompts[i], "max_new_tokens": budgets[i]}
+        )
+
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(len(prompts))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(r is not None for r in results), results
+
+    from forde_tpu.models.generate import generate_cached
+
+    for p, b, r in zip(prompts, budgets, results):
+        single = np.asarray(generate_cached(
+            batcher.model, batcher.variables, jnp.asarray([p], jnp.int32),
+            jax.random.PRNGKey(0), max_new_tokens=b, temperature=0,
+        ))[0].tolist()
+        assert r["output_ids"] == single
