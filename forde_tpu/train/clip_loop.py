@@ -366,6 +366,15 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
             # tunnel every cycle would measure the tunnel, not the step.
             import itertools as _it
 
+            # Pool images are stored in the COMPUTE dtype: the model's
+            # first op casts them anyway (models/dual_encoder.py
+            # patchify), so bf16 storage is numerically identical and
+            # halves the pool's HBM. At fuse 32 / batch 512 / 224px the
+            # f32 pool alone was 9.6 GB — the compile OOM'd a 15.75 GB
+            # v5e by 271 MB.
+            import jax.numpy as jnp
+            compute_dt = jnp.dtype(cfg.dtypes.compute)
+
             def _device_batches():
                 # lazy: each raw device batch is freed once its super-
                 # batch is stacked — holding the whole raw pool AND the
@@ -373,13 +382,22 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
                 for b in _it.islice(
                     iter(dataset), max(args.dummy_pool, fuse)
                 ):
-                    yield jax.device_put(b, sharding)
+                    db = jax.device_put(b, sharding)
+                    if compute_dt != jnp.float32:
+                        db = dict(db, image=db["image"].astype(compute_dt))
+                    yield db
 
             if fuse > 1:
-                pool = list(stack_batches(
-                    _device_batches(), fuse,
-                    sharding=mesh_lib.stacked_batch_sharding(mesh),
-                ))
+                # prepare() splits each super-batch into scan operands
+                # once, at pool-build time; the plain stacked buffer
+                # frees immediately (see make_fused_step.prepare)
+                pool = [
+                    fused_step.prepare(sb)
+                    for sb in stack_batches(
+                        _device_batches(), fuse,
+                        sharding=mesh_lib.stacked_batch_sharding(mesh),
+                    )
+                ]
             else:
                 pool = list(_device_batches())
 
@@ -393,9 +411,12 @@ def train(args: Optional[argparse.Namespace] = None) -> dict:
         else:
             batches = prefetch_to_device(iter(dataset), sharding=sharding)
             if fuse > 1:
-                batches = stack_batches(
-                    batches, fuse,
-                    sharding=mesh_lib.stacked_batch_sharding(mesh),
+                batches = (
+                    fused_step.prepare(sb)
+                    for sb in stack_batches(
+                        batches, fuse,
+                        sharding=mesh_lib.stacked_batch_sharding(mesh),
+                    )
                 )
         for batch in batches:
             if stop_requested:

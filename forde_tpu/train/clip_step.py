@@ -205,9 +205,14 @@ def make_fused_step(
     ``sensed_step``/``nosense_step`` default to ``clip_train_step`` /
     ``make_nosense_step(config)``; pass EMA-wrapped variants to keep
     ``--ema_decay`` semantics. Requires ``n_steps %% sense_interval ==
-    0`` so every fused call runs whole groups. The stacked batch has a
-    leading ``(n_steps,)`` axis; step order (and therefore math) is
-    identical to the unfused loop — sensed at offsets 0, k, 2k, …
+    0`` so every fused call runs whole groups. Step order (and
+    therefore math) is identical to the unfused loop — sensed at
+    offsets 0, k, 2k, …
+
+    Usage: ``fused(state, fused.prepare(stacked))`` where ``stacked``
+    has a leading ``(n_steps,)`` axis (``stack_batches``); ``prepare``
+    splits it once into scan operands (see its docstring for why) and
+    can be applied ahead of time — e.g. once per pooled super-batch.
     Returns ``(state, metrics-of-last-step)``.
     """
     sensed = sensed_step if sensed_step is not None else clip_train_step
@@ -225,27 +230,44 @@ def make_fused_step(
         )
     n_groups = n_steps // group
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fused(state: CLIPTrainState, stacked: Dict):
-        grouped = jax.tree.map(
+    @jax.jit
+    def prepare(stacked: Dict):
+        """(n_steps, ...) super-batch → (sensed, unsensed) scan operands.
+
+        Splitting OUTSIDE the scan matters for memory: slicing
+        ``gb[1:]`` inside the scan body materializes a copy of
+        (group-1)/group of the whole super-batch as an HLO temp every
+        program — at fuse 32 / batch 512 / 224px that temp alone was
+        4.45 GB and OOM'd a 15.75 GB v5e. As pre-split operands, the
+        scan reads its per-iteration slices in place."""
+        g = jax.tree.map(
             lambda x: x.reshape((n_groups, group) + x.shape[1:]), stacked
         )
+        first = jax.tree.map(lambda x: x[:, 0], g)
+        rest = (
+            jax.tree.map(lambda x: x[:, 1:], g) if group > 1 else None
+        )
+        return first, rest
 
-        def body(carry, gb):
-            s, m = sensed(carry, jax.tree.map(lambda x: x[0], gb))
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused(state: CLIPTrainState, prepared):
+        first_all, rest_all = prepared
+
+        def body(carry, xs):
+            fb, rb = xs
+            s, m = sensed(carry, fb)
             if group > 1:
                 def inner(c, b):
                     return nosense(c, b)
 
-                s, ms = jax.lax.scan(
-                    inner, s, jax.tree.map(lambda x: x[1:], gb)
-                )
+                s, ms = jax.lax.scan(inner, s, rb)
                 m = jax.tree.map(lambda x: x[-1], ms)
             return s, m
 
-        state, ms = jax.lax.scan(body, state, grouped)
+        state, ms = jax.lax.scan(body, state, (first_all, rest_all))
         return state, jax.tree.map(lambda x: x[-1], ms)
 
+    fused.prepare = prepare
     return fused
 
 

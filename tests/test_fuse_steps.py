@@ -78,7 +78,7 @@ def _run_both(cfg, k, sense_interval):
     fused = make_fused_step(cfg, k, sense_interval, nosense_step=nosense)
     state = _state(cfg)
     (stacked,) = list(stack_batches(iter(batches), k))
-    state, m = fused(state, stacked)
+    state, m = fused(state, fused.prepare(stacked))
     return state, m, ref, ref_m
 
 
