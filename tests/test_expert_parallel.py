@@ -35,6 +35,7 @@ def _setup(num_experts=4, d=32, h=64, b=8, s=16, top_k=2):
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1)])
+@pytest.mark.slow
 def test_ep_matches_dense_moe(mesh_shape):
     data, expert = mesh_shape
     x, dense, variables, ep_params = _setup()

@@ -45,6 +45,7 @@ def test_greedy_is_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_greedy_prefix_consistency():
     """Greedy decoding N then N+3 tokens agrees on the first N — i.e. the
     padded buffer's future garbage never leaks into earlier steps."""
@@ -63,6 +64,7 @@ def test_greedy_prefix_consistency():
     )
 
 
+@pytest.mark.slow
 def test_top_k_restricts_support():
     cfg, model, variables = _model_and_vars()
     prompt = jnp.ones((1, 4), jnp.int32)
@@ -78,6 +80,7 @@ def test_top_k_restricts_support():
     np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
 
 
+@pytest.mark.slow
 def test_top_p_restricts_support():
     """Tiny top_p == greedy; _sample's nucleus keeps the crossing token."""
     from forde_tpu.models.generate import _sample
@@ -104,6 +107,7 @@ def test_top_p_restricts_support():
     assert set(draws) <= {0, 1} and len(set(draws)) == 2
 
 
+@pytest.mark.slow
 def test_cached_generation_matches_full_recompute():
     """KV-cache greedy decode == full-recompute greedy decode (no-NSA cfg)."""
     from forde_tpu.models.generate import generate_cached
@@ -125,6 +129,7 @@ def test_cached_generation_matches_full_recompute():
     np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
 
 
+@pytest.mark.slow
 def test_nsa_cached_decode_matches_clean_prefix_forwards():
     """Single-layer NSA decoder: streaming decode == a clean full forward
     at every prefix length (all three branches + their length gates
@@ -178,6 +183,7 @@ def test_nsa_cached_decode_matches_clean_prefix_forwards():
         )
 
 
+@pytest.mark.slow
 def test_nsa_multilayer_decode_matches_below_window():
     """Multi-layer NSA decode == clean forwards while seq_len <= window
     (gates closed everywhere -> streaming and teacher-forced semantics
@@ -212,6 +218,7 @@ def test_nsa_multilayer_decode_matches_below_window():
         )
 
 
+@pytest.mark.slow
 def test_nsa_generate_cached_runs_and_respects_prompt():
     from forde_tpu.models.generate import generate_cached
 
@@ -230,6 +237,7 @@ def test_nsa_generate_cached_runs_and_respects_prompt():
     assert (np.asarray(out[:, 6:]) >= 0).all()
 
 
+@pytest.mark.slow
 def test_nsa_prefill_cache_matches_streaming_below_window():
     """nsa_prefill (one teacher-forced forward) must build EXACTLY the
     cache that token-by-token streaming builds, whenever the prompt fits
@@ -278,6 +286,7 @@ def test_nsa_prefill_cache_matches_streaming_below_window():
         )
 
 
+@pytest.mark.slow
 def test_beam_search_beats_or_matches_greedy_and_respects_prompt():
     """beam_size=1 == greedy cached decode; beam_size=4's best-path score
     must be >= the greedy path's score under the same model."""
@@ -316,6 +325,7 @@ def test_beam_search_beats_or_matches_greedy_and_respects_prompt():
     assert (s_beam >= s_greedy - 1e-4).all(), (s_beam, s_greedy)
 
 
+@pytest.mark.slow
 def test_beam_search_nsa_config_runs():
     from forde_tpu.models.generate import generate_beam
 
@@ -330,6 +340,7 @@ def test_beam_search_nsa_config_runs():
     np.testing.assert_array_equal(np.asarray(out[:, :4]), np.asarray(prompt))
 
 
+@pytest.mark.slow
 def test_beam_search_scan_layers():
     """Beam search over the (L,)-stacked scan cache: beam_size=1 must
     reproduce greedy cached decode token-exactly; beam_size=3 must score
@@ -368,6 +379,7 @@ def test_beam_search_scan_layers():
         )
 
 
+@pytest.mark.slow
 def test_beam_search_eos_freezes_finished_beams():
     """With eos_id set, every position after a beam's first EOS is pad_id,
     and length_penalty normalizes by the per-beam generated length."""
@@ -438,6 +450,7 @@ def test_topk_insert_matches_global_top_k():
                     )
 
 
+@pytest.mark.slow
 def test_generate_cached_data_parallel_serving():
     """Batched serving scales over the mesh with zero code: a prompt
     batch sharded over 'data' (replicated params) decodes token-exactly
@@ -474,6 +487,7 @@ def test_generate_cached_data_parallel_serving():
     np.testing.assert_array_equal(ref, out)
 
 
+@pytest.mark.slow
 def test_generate_cached_tensor_parallel_serving():
     """Model-parallel serving: params Megatron-sharded over 'model'
     (serve.py --tensor_parallelism) decode token-exactly vs single
@@ -539,6 +553,7 @@ def _ragged_fixture(scan_layers=False):
     )
 
 
+@pytest.mark.slow
 def test_generate_ragged_matches_per_row_cached():
     """Ragged mixed-length batch decode (one program) is token-exact vs
     generate_cached run per row — prefill pad garbage never leaks into
@@ -566,6 +581,7 @@ def test_generate_ragged_matches_per_row_cached():
             assert (out[i, len(p) + new:] == 0).all()
 
 
+@pytest.mark.slow
 def test_generate_ragged_eos_pads_tail():
     """A row that emits eos_id stops — every later position is pad_id —
     and other rows keep generating (per-row done tracking)."""

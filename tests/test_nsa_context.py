@@ -46,6 +46,7 @@ class TestWindowAttentionCP:
                 np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
             )
 
+    @pytest.mark.slow
     def test_matches_reference_grads(self):
         q, k, v = _qkv(jax.random.PRNGKey(1))
         mesh = _mesh(4)
@@ -101,6 +102,7 @@ class TestPoolAndSelectCP:
             np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6
         )
 
+    @pytest.mark.slow
     def test_small_kv_attention_cp_matches(self):
         from forde_tpu.ops.nsa_attention import small_kv_attention
 
@@ -159,6 +161,7 @@ class TestNSAContextParallelTraining:
             losses.append(float(metrics["loss/total"]))
         return losses
 
+    @pytest.mark.slow
     def test_nsa_cp_matches_single_device(self):
         rng = np.random.RandomState(0)
         batches = [
@@ -170,6 +173,7 @@ class TestNSAContextParallelTraining:
         ref = self._run(mesh_1, None, batches)
         np.testing.assert_allclose(cp, ref, rtol=0, atol=2e-5)
 
+    @pytest.mark.slow
     def test_nsa_dp_cp_compose(self):
         rng = np.random.RandomState(1)
         batches = [rng.randint(0, 128, (4, S)).astype(np.int32)]

@@ -45,6 +45,7 @@ def test_sharded_contrastive_matches_reference():
     )
 
 
+@pytest.mark.slow
 def test_dp_ep_train_step_on_mesh():
     """Full decoder train step with batch on 'data' and experts on 'expert'."""
     import __graft_entry__ as graft
@@ -52,6 +53,7 @@ def test_dp_ep_train_step_on_mesh():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     """Same step, same numbers: sharded (4x data) vs fully replicated."""
     from forde_tpu.core.config import LLMConfig

@@ -94,6 +94,7 @@ class TestExpertParallelWiring:
         ref_losses = _run_steps(cfg_ref, mesh_1, None, batches)
         np.testing.assert_allclose(ep_losses, ref_losses, rtol=0, atol=2e-5)
 
+    @pytest.mark.slow
     def test_ep_a2a_wide_expert_axis(self):
         """All-to-all EP at (data=2, expert=4) == capacity on 1 device —
         the wide-expert-mesh regime the psum variant scales badly in
@@ -111,6 +112,7 @@ class TestExpertParallelWiring:
         ref_losses = _run_steps(cfg_ref, mesh_1, None, batches)
         np.testing.assert_allclose(ep_losses, ref_losses, rtol=0, atol=2e-5)
 
+    @pytest.mark.slow
     def test_ep_a2a_matches_psum_ffn(self):
         """Direct FFN check: a2a and psum variants agree (grads included)
         with no-drop capacity."""
@@ -264,6 +266,7 @@ class TestContextParallelWiring:
         ref_losses = _run_steps(cfg, mesh_1, None, batches)
         np.testing.assert_allclose(cp_losses, ref_losses, rtol=0, atol=2e-5)
 
+    @pytest.mark.slow
     def test_dp_cp_compose(self):
         """(data=2, context=4) runs and stays finite with sharded tokens."""
         cfg = _cfg(use_moe=False)
@@ -295,6 +298,7 @@ class TestTensorParallelWiring:
         ref_losses = _run_steps(cfg, mesh_1, None, batches)
         np.testing.assert_allclose(tp_losses, ref_losses, rtol=0, atol=2e-5)
 
+    @pytest.mark.slow
     def test_tp_params_actually_sharded(self):
         """The Megatron layout is real: expert w_up is (expert?, None,
         'model')-sharded and qkv kernels are last-dim 'model'-sharded on
@@ -322,6 +326,7 @@ class TestTensorParallelWiring:
         )
         assert tuple(qkv)[-1] == "model", qkv
 
+    @pytest.mark.slow
     def test_tp_with_nsa(self):
         """NSA decoder (all three branches) under (data=2, model=2) ==
         1 device: the branch q/k/v projections are column-sharded, the
@@ -383,6 +388,7 @@ class TestFSDPWiring:
         assert count_data_sharded(fsdp_state.params) >= 10
         assert count_data_sharded(fsdp_state.opt_state) >= 10
 
+    @pytest.mark.slow
     def test_fsdp_composes_with_tp(self):
         """(data=2, model=2) with fsdp: TP dims keep 'model', remaining
         big dims take 'data'; losses still match single device."""
@@ -470,6 +476,7 @@ class TestDualEncoderTPFSDP:
             losses.append(float(metrics["loss/contrastive"]))
         return losses, state
 
+    @pytest.mark.slow
     def test_clip_tp_fsdp_matches_single_device(self):
         rng = np.random.RandomState(0)
         batches = [

@@ -6,6 +6,7 @@ must all match the plain forward (per-example computation is
 independent of microbatching; usage stats decompose over microbatches).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,6 +118,7 @@ def test_pp_forward_matches_model():
             np.testing.assert_array_equal(np.asarray(leaf), 1)
 
 
+@pytest.mark.slow
 def test_pp_gradients_match():
     """d(loss)/d(params) through the pipeline == through the plain model
     (gradient flows through ppermute + the tick scan)."""
@@ -166,6 +168,7 @@ def test_pp_gradients_match():
         )
 
 
+@pytest.mark.slow
 def test_pp_without_mhc_or_moe():
     """Dense decoder (no streams, no stats): pipeline still matches."""
     cfg = _cfg(use_hyper_connections=False, use_moe=False)
@@ -180,6 +183,7 @@ def test_pp_without_mhc_or_moe():
     )
 
 
+@pytest.mark.slow
 def test_pp_composes_with_dp():
     """(data=2, pipe=2): microbatch examples shard over data, stages
     over pipe; logits still match the plain model."""
@@ -195,6 +199,7 @@ def test_pp_composes_with_dp():
     )
 
 
+@pytest.mark.slow
 def test_pp_train_cli_smoke(tmp_path):
     """Driver wiring: --pipeline_parallelism 2 trains with finite loss."""
     from forde_tpu.train.loop import build_parser, train
@@ -213,6 +218,7 @@ def test_pp_train_cli_smoke(tmp_path):
     assert np.isfinite(out["final_metrics"]["loss/total"])
 
 
+@pytest.mark.slow
 def test_pp_state_is_stage_sharded_at_rest():
     """shard_train_state on a pipe mesh puts P('pipe', ...) on the
     (L,)-stacked layer params AND optimizer moments (per-device state

@@ -32,6 +32,7 @@ def test_ring_attention_matches_reference(causal):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_attention_4way_context_with_data_parallel():
     """Mixed mesh: data=2 x context=4."""
     mesh = mesh_lib.create_mesh(data=2, expert=1, context=4)
@@ -41,6 +42,7 @@ def test_ring_attention_4way_context_with_data_parallel():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_attention_grads_match_reference():
     mesh = mesh_lib.create_mesh(data=1, expert=1, context=8)
     q, k, v = _qkv(s=32)
@@ -68,6 +70,7 @@ def test_zigzag_matches_reference_8way():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_zigzag_with_data_parallel_and_odd_ring():
     """data=2 x context=4 mesh; also covers the odd/even device split."""
     mesh = mesh_lib.create_mesh(data=2, expert=1, context=4)
@@ -77,6 +80,7 @@ def test_zigzag_with_data_parallel_and_odd_ring():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_zigzag_grads_match_reference():
     mesh = mesh_lib.create_mesh(data=1, expert=1, context=8)
     q, k, v = _qkv(s=128, seed=7)
@@ -97,6 +101,7 @@ def test_zigzag_grads_match_reference():
         )
 
 
+@pytest.mark.slow
 def test_zigzag_auto_selection():
     """auto picks zigzag only when causal and halves stay 8-aligned."""
     mesh = mesh_lib.create_mesh(data=1, expert=1, context=8)

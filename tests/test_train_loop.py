@@ -50,6 +50,7 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_train_cli_smoke_with_slow_loop(tmp_path, capsys):
     """Full driver: tiny model, dummy data, slow loop firing, checkpoint."""
     args = build_parser().parse_args(
@@ -91,6 +92,7 @@ def _tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_force_save_replaces_existing_step(tmp_path):
     """force=True at an existing step replaces it with the NEW state
     (write-then-swap: the old step is never deleted before the new bytes
@@ -117,6 +119,7 @@ def test_checkpoint_force_save_replaces_existing_step(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_restore_needs_matching_warmup_opt_state(tmp_path):
     """A warmup-trained opt_state has a schedule-count leaf that a
     warmup-0 optimizer lacks — serve.py must rebuild with the checkpoint
@@ -146,6 +149,7 @@ def test_restore_needs_matching_warmup_opt_state(tmp_path):
         ckpt_lib.restore_checkpoint(d, bad)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch_no_moe():
     """make_accum_train_step(A) == train_step on the full batch when the
     loss is linear in batch composition (no MoE aux): params match ~1e-5."""
@@ -185,6 +189,7 @@ def test_grad_accum_matches_full_batch_no_moe():
         )
 
 
+@pytest.mark.slow
 def test_grad_accum_moe_stats_advance_per_microbatch():
     """MoE path: stats_buffer step_count advances accum_steps per
     optimizer step (usage/step_count normalization stays consistent)."""
@@ -213,6 +218,7 @@ def test_grad_accum_moe_stats_advance_per_microbatch():
     assert counts and all(int(c.max()) == 4 for c in counts)
 
 
+@pytest.mark.slow
 def test_grad_accum_cli_smoke():
     args = build_parser().parse_args(
         [
@@ -229,6 +235,7 @@ def test_grad_accum_cli_smoke():
     assert np.isfinite(out["final_metrics"]["loss/total"])
 
 
+@pytest.mark.slow
 def test_sigterm_saves_resumable_checkpoint(tmp_path):
     """Graceful preemption: SIGTERM mid-run -> clean exit with a final
     checkpoint; --resume continues from it."""
