@@ -1,6 +1,7 @@
 """Sampling tests: shapes, prompt preservation, greedy determinism,
 causal consistency (generated prefix unaffected by later steps)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -3,6 +3,7 @@ the full training step must match the single-device path exactly.
 
 Runs on the 8-virtual-device CPU mesh (conftest.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np

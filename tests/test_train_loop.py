@@ -3,6 +3,7 @@ save/restore roundtrip, prefetch."""
 
 import os
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
