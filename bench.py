@@ -13,14 +13,16 @@ lever) — and prints ONE JSON line:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-All preset rates are measured with FULL per-step FORDE sensing
-(activation stats in the forward + grad-stat taps in the backward),
-the reference-parity fast loop. The `extra` dict additionally reports
-a `_sense8` rate for the headline: the production sensing stride
-(--sense_interval 8, train/clip_loop.py) which pays the stat-reduction
-bytes every 8th step — same optimization trajectory (the taps are
-identity on the forward; tests/test_sense_stride.py), time-averaged
-slow-loop inputs unchanged in expectation.
+The HEADLINE is the PRODUCTION configuration: ViT-B/16-hd128 at the
+production sensing stride (--sense_interval 8, train/clip_loop.py's
+recipe — stat-reduction bytes paid every 8th step; same optimization
+trajectory, the taps are identity on the forward, time-averaged
+slow-loop inputs unchanged in expectation —
+tests/test_sense_stride.py). FULL per-step sensing rates for every
+preset stay in `extra` for cross-round continuity. The fused
+device-resident extra (sense32 x scan32) reports the MEDIAN of 3 runs
+with min/max alongside — the tiny family's run variance is ~±2%
+(PERF.md), so single samples cannot support threshold claims.
 
 Adam moments are stored in bfloat16 (the production config —
 train/optim.py halves optimizer HBM traffic, measured +2% step rate;
@@ -197,13 +199,19 @@ def main() -> None:
         batch = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[p]))
         rates[p] = round(run_preset(p, batch, steps), 2)
 
+    # HEADLINE = the production configuration: vit_b16_hd128 at the
+    # production sensing stride (--sense_interval 8, the clip_loop
+    # default recipe) — what a deployment actually runs. The
+    # full-sensing rate stays in `extra` for cross-round continuity.
     headline = presets[0]
+    headline_key = headline
     stride = int(os.environ.get("BENCH_SENSE_STRIDE", "8"))
     if stride > 1:
         batch = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH[headline]))
         rates[f"{headline}_sense{stride}"] = round(
             run_preset(headline, batch, max(steps, 2 * stride), stride), 2
         )
+        headline_key = f"{headline}_sense{stride}"
     # Device-resident production shape for the tiny family: sense-strided
     # steps scanned inside one jit call (no per-step dispatch through the
     # axon tunnel — the shape clip_loop --fuse_steps actually runs).
@@ -211,32 +219,46 @@ def main() -> None:
     # (sense 32 x scan 32 = 10,012 pairs/s/chip, PERF.md round 4; stride
     # 32 still gives the slow loop >=15 stat samples per 500-step
     # window).
+    # MEDIAN OF 3 runs: the tiny-family run-to-run variance is ~±2%
+    # (PERF.md round 4), so a single sample cannot support a "crossed
+    # the 10k line" claim — the recorded number must survive
+    # re-measurement.
     scan_extra = int(os.environ.get("BENCH_SCAN_EXTRA", "32"))
     scan_stride = int(os.environ.get("BENCH_SCAN_STRIDE", "32"))
+    scan_reps = int(os.environ.get("BENCH_SCAN_REPS", "3"))
     if preset == "both" and scan_stride > 1 and scan_extra > 1:
-        rates[f"tiny_hd128_sense{scan_stride}_scan{scan_extra}"] = round(
+        samples = sorted(
             run_preset(
                 "tiny_hd128",
                 int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH["tiny_hd128"])),
                 max(steps, 3 * scan_extra),
                 scan_stride,
                 scan_k=scan_extra,
-            ),
-            2,
+            )
+            for _ in range(scan_reps)
+        )
+        rates[f"tiny_hd128_sense{scan_stride}_scan{scan_extra}"] = round(
+            samples[len(samples) // 2], 2
+        )
+        rates[f"tiny_hd128_sense{scan_stride}_scan{scan_extra}_min"] = round(
+            samples[0], 2
+        )
+        rates[f"tiny_hd128_sense{scan_stride}_scan{scan_extra}_max"] = round(
+            samples[-1], 2
         )
     out = {
-        "metric": f"image_text_pairs_per_sec_per_chip_{headline}_bf16",
-        "value": rates[headline],
+        "metric": f"image_text_pairs_per_sec_per_chip_{headline_key}_bf16",
+        "value": rates[headline_key],
         "unit": "pairs/s/chip",
         "vs_baseline": round(
-            rates[headline] / BASELINE_PAIRS_PER_SEC_PER_CHIP, 4
+            rates[headline_key] / BASELINE_PAIRS_PER_SEC_PER_CHIP, 4
         ),
     }
     if len(rates) > 1:
         out["extra"] = {
             f"image_text_pairs_per_sec_per_chip_{p}_bf16": v
             for p, v in rates.items()
-            if p != headline
+            if p != headline_key
         }
     print(json.dumps(out))
 

@@ -35,7 +35,15 @@ Serving extras on top:
   for every sampled token the moment the step's tokens land on host —
   the surface serve_http's SSE endpoint rides on.
 
-Dense-causal configs only (same contract as ``generate_ragged``).
+Serves dense-causal AND NSA configs (the reference's DEFAULT is NSA —
+src/forde/model.py:55 ``use_sparse_attention: bool = True``): NSA rows
+prefill through the length-aware ``nsa_prefill`` (one compile per pow2
+bucket, same as dense) and the pooled step advances every row's
+streaming caches (ring window, chunk sums, running top-k) at its own
+position via the per-row NSA decode path. NSA limits: no prefix caching
+(streaming caches depend on what follows the prefix) and no chunked
+prefill (the NSA prefill is one teacher-forced forward; chunk-resumable
+NSA caches do not exist).
 """
 
 from __future__ import annotations
@@ -48,7 +56,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from forde_tpu.models.decoder_lm import FORDEDecoderLM
-from forde_tpu.models.generate import sample_rows
+from forde_tpu.models.generate import nsa_prefill, sample_rows
 
 
 def _next_pow2(n: int) -> int:
@@ -80,6 +88,23 @@ def _prefill_one(model, variables, prompt, length, key, temp, topk, topp):
     ].astype(jnp.float32)
     token = sample_rows(last, key, temp, topk, topp)[0]
     return updated["cache"], token
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _prefill_one_nsa(model, variables, prompt, length, key, temp, topk, topp):
+    """NSA (1, P)-padded prompt -> (streaming cache row, first token).
+
+    One length-aware teacher-forced forward (``nsa_prefill`` with
+    ``lengths``) builds the row's ring/chunk/top-k caches at its TRUE
+    length; any mix of lengths at one pow2 bucket shares the executable
+    — the same serving property as the dense ``_prefill_one``."""
+    model_vars = {
+        "params": variables["params"],
+        "stats_buffer": variables.get("stats_buffer", {}),
+    }
+    cache, last = nsa_prefill(model, model_vars, prompt, length[None])
+    token = sample_rows(last.astype(jnp.float32), key, temp, topk, topp)[0]
+    return cache, token
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -288,10 +313,12 @@ class DecodePool:
         bursts of up to ``decode_fuse``. While a chunked prefill is in
         flight the scheduler drops to single-token ticks (chunks advance
         one per tick by construction)."""
-        if model.config.use_sparse_attention:
+        self._nsa = bool(model.config.use_sparse_attention)
+        if self._nsa and prefill_chunk is not None:
             raise ValueError(
-                "DecodePool supports dense-causal configs only (same "
-                "contract as generate_ragged)"
+                "chunked prefill requires dense-causal configs — the NSA "
+                "prefill is one teacher-forced forward (nsa_prefill); "
+                "chunk-resumable NSA caches do not exist"
             )
         self.model = model
         self.variables = variables
@@ -463,6 +490,8 @@ class DecodePool:
                 jnp.full((1,), req["topp"], jnp.float32),
             )
             if req["prefix"] is not None:
+                # unreachable for NSA pools: register_prefix (via
+                # prefill_prefix) rejects NSA configs at registration
                 prefix_cache, plen = self._prefixes[req["prefix"]]
                 row_cache, token = _prefill_suffix(
                     self.model, self.variables, prefix_cache,
@@ -471,7 +500,8 @@ class DecodePool:
                 )
             else:
                 plen = 0
-                row_cache, token = _prefill_one(
+                prefill = _prefill_one_nsa if self._nsa else _prefill_one
+                row_cache, token = prefill(
                     self.model, self.variables, jnp.asarray(padded),
                     jnp.asarray(len(p), jnp.int32), k, *sampling,
                 )

@@ -51,15 +51,10 @@ class DecoderBlock(nn.Module):
         deterministic: bool = True,
         decode: bool = False,
         positions: Optional[jnp.ndarray] = None,
+        lengths: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
         cfg = self.config
         dtype = cfg.dtypes.compute
-        if positions is not None and cfg.use_sparse_attention:
-            raise ValueError(
-                "per-row decode positions (ragged batching) are supported "
-                "for dense-causal configs only — NSA streaming caches are "
-                "phase-locked to a shared position counter"
-            )
 
         if cfg.use_hyper_connections:
             if streams is None:
@@ -89,7 +84,10 @@ class DecoderBlock(nn.Module):
                 max_decode_len=cfg.max_seq_len,
                 mesh=self.mesh,
                 name="sparse_attention",
-            )(attn_input, mask, decode=decode)
+            )(
+                attn_input, mask, decode=decode, positions=positions,
+                lengths=lengths,
+            )
         else:
             attn_output = CausalSelfAttention(
                 num_heads=cfg.num_heads,
@@ -181,13 +179,15 @@ class _ScanBlockBody(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        # positions (per-row ragged decode) rides the carry unchanged so
-        # every scanned layer sees the same (B,) vector (None otherwise).
-        x, streams, positions = carry
+        # positions (per-row ragged decode) and lengths (ragged NSA
+        # prefill forward) ride the carry unchanged so every scanned
+        # layer sees the same (B,) vector (None otherwise).
+        x, streams, positions, lengths = carry
         x, streams, aux = DecoderBlock(
             config=self.config, mesh=self.mesh, name="block"
-        )(x, streams, None, self.deterministic, self.decode, positions)
-        return (x, streams, positions), aux
+        )(x, streams, None, self.deterministic, self.decode, positions,
+          lengths)
+        return (x, streams, positions, lengths), aux
 
 
 class FORDEDecoderLM(nn.Module):
@@ -207,11 +207,21 @@ class FORDEDecoderLM(nn.Module):
         deterministic: bool = True,
         decode: bool = False,
         positions: Optional[jnp.ndarray] = None,
+        lengths: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """``positions`` (B,), decode-only: per-row position of the single
         token being fed — the ragged-batch serving path (mixed-length
-        right-padded prompts share one compiled program; dense-causal
-        configs only, see models/generate.generate_ragged)."""
+        right-padded prompts share one compiled program; see
+        models/generate.generate_ragged). Works for dense-causal AND NSA
+        configs (NSA branch caches are all per-row; its traced
+        length-gates read the per-row position).
+
+        ``lengths`` (B,), training-mode-only: the RAGGED NSA forward —
+        ``input_ids`` is right-padded and row i's true length is
+        ``lengths[i]``; every position < lengths[i] computes exactly what
+        a per-row exact-length forward would (nn/attention.
+        NativeSparseAttention). The padded one-compile NSA prefill
+        (models/generate.nsa_prefill) rides on this."""
         cfg = self.config
         dtype = cfg.dtypes.compute
         b, s = input_ids.shape
@@ -282,10 +292,10 @@ class FORDEDecoderLM(nn.Module):
                 split_rngs={"params": True},
                 length=cfg.num_layers,
             )
-            (x, streams, _), aux_stack = scan_cls(
+            (x, streams, _, _), aux_stack = scan_cls(
                 config=cfg, deterministic=deterministic, mesh=self.mesh,
                 decode=decode, name="layers",
-            )((x, streams, positions), None)
+            )((x, streams, positions, lengths), None)
             total_aux_loss = total_aux_loss + jnp.sum(aux_stack)
         else:
             block_cls = DecoderBlock
@@ -294,7 +304,8 @@ class FORDEDecoderLM(nn.Module):
             for layer_idx in range(cfg.num_layers):
                 x, streams, moe_aux_loss = block_cls(
                     config=cfg, mesh=self.mesh, name=f"layer_{layer_idx}"
-                )(x, streams, mask, deterministic, decode, positions)
+                )(x, streams, mask, deterministic, decode, positions,
+                  lengths)
                 total_aux_loss = total_aux_loss + moe_aux_loss
 
         # Deliberate deviation from the reference: model.py:276-285 applies

@@ -47,11 +47,13 @@ class VisionTransformer(nn.Module):
         nh, nw = h // p, w // p
 
         # Non-overlapping patchify as reshape + Dense (one MXU matmul).
-        patches = images.reshape(b, nh, p, nw, p, c)
+        # Cast to the compute dtype BEFORE the patchify transpose: the
+        # shuffle is pure data movement, so doing it at bf16 halves its
+        # HBM bytes (154 MB -> 77 MB at ViT-B/128; cast_first won the
+        # round-5 probe, benchmarks/patch_embed_probe.py / PERF.md).
+        patches = images.astype(dtype).reshape(b, nh, p, nw, p, c)
         patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * nw, p * p * c)
-        x = nn.Dense(tw.d_model, name="patch_embed", dtype=dtype)(
-            patches.astype(dtype)
-        )
+        x = nn.Dense(tw.d_model, name="patch_embed", dtype=dtype)(patches)
 
         cls = self.param(
             "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, tw.d_model)

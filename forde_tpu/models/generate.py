@@ -378,7 +378,7 @@ def _generate_cached_nsa(
     return ids
 
 
-def nsa_prefill(model, variables, prompt_ids):
+def nsa_prefill(model, variables, prompt_ids, lengths=None):
     """Parallel (teacher-forced) prefill for NSA configs: ONE full forward
     over the prompt, then the streaming caches are constructed directly
     from the captured per-layer attention inputs — the cache contents are
@@ -395,6 +395,22 @@ def nsa_prefill(model, variables, prompt_ids):
     subtrees, built in a Python loop) and ``scan_layers=True`` (leaves
     carry a leading (L,) axis; the same per-layer builder is vmapped over
     it).
+
+    ``lengths`` (B,): the RAGGED path — ``prompt_ids`` is RIGHT-padded
+    and row i's true length is ``lengths[i]``. The forward runs with the
+    model's length-aware NSA masking (per-row traced gates, -inf pad
+    importance, per-row pool counts — nn/attention.NativeSparseAttention
+    ``lengths``), so every position < lengths[i] computes exactly what a
+    per-row exact-length forward would; the caches are then built
+    per-row (gathered ring slots, masked chunk writes, -inf-masked top-k
+    insertions) and are LEAF-EXACT against the exact-length prefill of
+    each row (tests/test_nsa_ragged.py). Returned logits are each row's
+    LAST-real-token logits. Any mix of lengths at one padded bucket
+    shares a single compiled program — the serving property the pow2
+    prefill buckets of DecodePool need. Per-layer/scalar position
+    counters cannot represent mixed lengths (batch 1 gets the true
+    length; otherwise 0) — ragged caches must be decoded with per-row
+    ``positions``, which the pool and ``generate_ragged`` always pass.
     """
     cfg = model.config
     b, p = prompt_ids.shape
@@ -403,6 +419,7 @@ def nsa_prefill(model, variables, prompt_ids):
     (logits, _), state = model.apply(
         variables,
         prompt_ids,
+        lengths=lengths,
         mutable=["stats_buffer", "intermediates"],
         capture_intermediates=lambda mdl, name: mdl.name == "attn_norm",
     )
@@ -428,44 +445,101 @@ def nsa_prefill(model, variables, prompt_ids):
             0, 2, 1, 3
         )
 
+    # scalar position counters cannot represent mixed row lengths; see
+    # docstring (per-row ``positions`` must drive ragged-cache decode)
+    counter_len = p if lengths is None else None
+
     def build_layer(x, lp, lc):
         """(B, P, d_model) attn_norm output + layer params + empty layer
         cache -> filled layer cache (pure; vmapped for scan layouts)."""
         lc = jax.tree.map(lambda a: a, lc)  # fresh containers
-        lc["nsa_pos"] = jnp.asarray(p, jnp.int32)
+        if counter_len is not None:
+            lc["nsa_pos"] = jnp.asarray(counter_len, jnp.int32)
+        else:
+            lc["nsa_pos"] = (
+                lengths[0] if b == 1 else jnp.asarray(0, jnp.int32)
+            ).astype(jnp.int32)
 
         # local branch: ring buffer of the last w k/v rows (slot = pos % w)
         la = lc["local_attention"]
         w = la["cached_key"].shape[2]
-        t = min(p, w)
-        slots = jnp.mod(jnp.arange(p - t, p), w)
         qkv = dense(x, lp["local_attention"]["qkv_proj"])
         _, k, v = jnp.split(qkv, 3, axis=-1)
-        la["cached_key"] = la["cached_key"].at[:, :, slots].set(
-            split_heads(k)[:, :, p - t:].astype(la["cached_key"].dtype)
-        )
-        la["cached_value"] = la["cached_value"].at[:, :, slots].set(
-            split_heads(v)[:, :, p - t:].astype(la["cached_value"].dtype)
-        )
-        la["cache_index"] = jnp.asarray(p, jnp.int32)
+        kh, vh = split_heads(k), split_heads(v)  # (B, H, P, d)
+        if lengths is None:
+            t = min(p, w)
+            slots = jnp.mod(jnp.arange(p - t, p), w)
+            la["cached_key"] = la["cached_key"].at[:, :, slots].set(
+                kh[:, :, p - t:].astype(la["cached_key"].dtype)
+            )
+            la["cached_value"] = la["cached_value"].at[:, :, slots].set(
+                vh[:, :, p - t:].astype(la["cached_value"].dtype)
+            )
+        else:
+            # per-row gather: ring slot j holds the LAST position < len
+            # congruent to j mod w — src_j = (len-1) - ((len-1-j) mod w);
+            # slots a short row never wrote (src < 0) stay zero, exactly
+            # as the exact-length prefill leaves them (they are masked by
+            # the decode read's slot_pos >= 0 reconstruction anyway).
+            j = jnp.arange(w)
+            src = (lengths[:, None] - 1) - jnp.mod(
+                lengths[:, None] - 1 - j[None, :], w
+            )  # (B, w)
+            valid = (src >= 0)[:, None, :, None]
+            idx = jnp.clip(src, 0, p - 1)[:, None, :, None]
+            gk = jnp.take_along_axis(kh, idx, axis=2)  # (B, H, w, d)
+            gv = jnp.take_along_axis(vh, idx, axis=2)
+            la["cached_key"] = jnp.where(valid, gk, 0).astype(
+                la["cached_key"].dtype
+            )
+            la["cached_value"] = jnp.where(valid, gv, 0).astype(
+                la["cached_value"].dtype
+            )
+        if counter_len is not None:
+            la["cache_index"] = jnp.asarray(counter_len, jnp.int32)
+        else:
+            la["cache_index"] = (
+                lengths[0] if b == 1 else jnp.asarray(0, jnp.int32)
+            ).astype(jnp.int32)
 
         ratio = cfg.compression_ratio
         if "comp_k" in lc:
-            n_complete = p // ratio
+            n_complete = p // ratio  # chunk CAPACITY of the padded buffer
             if n_complete:
                 means = x[:, : n_complete * ratio].reshape(
                     b, n_complete, ratio, -1
                 ).mean(axis=2)
                 ck = split_heads(dense(means, lp["compressed_k_proj"]))
                 cv = split_heads(dense(means, lp["compressed_v_proj"]))
+                if lengths is not None:
+                    # only chunks fully inside a row's true length exist;
+                    # the rest stay zero (exact-length prefill parity)
+                    cmask = (
+                        jnp.arange(n_complete)[None, :]
+                        < (lengths // ratio)[:, None]
+                    )[:, None, :, None]
+                    ck = jnp.where(cmask, ck, 0)
+                    cv = jnp.where(cmask, cv, 0)
                 lc["comp_k"] = lc["comp_k"].at[:, :, :n_complete].set(
                     ck.astype(lc["comp_k"].dtype)
                 )
                 lc["comp_v"] = lc["comp_v"].at[:, :, :n_complete].set(
                     cv.astype(lc["comp_v"].dtype)
                 )
-            tail = x[:, n_complete * ratio : p]
-            lc["comp_chunk_sum"] = jnp.sum(tail, axis=1, dtype=jnp.float32)
+            if lengths is None:
+                tail = x[:, n_complete * ratio : p]
+                lc["comp_chunk_sum"] = jnp.sum(tail, axis=1, dtype=jnp.float32)
+            else:
+                # running sum of each row's OWN incomplete tail chunk
+                tpos = jnp.arange(p)[None, :]
+                tmask = (tpos >= (lengths // ratio * ratio)[:, None]) & (
+                    tpos < lengths[:, None]
+                )
+                lc["comp_chunk_sum"] = jnp.sum(
+                    jnp.where(tmask[:, :, None], x, 0),
+                    axis=1,
+                    dtype=jnp.float32,
+                )
 
         if "topk_scores" in lc:
             # Running top-k set (O(k) cache): replay the same insertion
@@ -477,6 +551,15 @@ def nsa_prefill(model, variables, prompt_ids):
             scores = dense(x, lp["importance_scorer"])[..., 0].astype(
                 jnp.float32
             )  # (B, P)
+            if lengths is not None:
+                # pad positions can never enter the kept set: -inf is
+                # rejected by the strictly-greater acceptance rule, so
+                # the insertion sequence matches each row's exact-length
+                # replay step for step
+                scores = jnp.where(
+                    jnp.arange(p)[None, :] < lengths[:, None], scores,
+                    -jnp.inf,
+                )
             tk = split_heads(dense(x, lp["topk_k_proj"]))  # (B, H, P, d)
             tv = split_heads(dense(x, lp["topk_v_proj"]))
 
@@ -501,7 +584,12 @@ def nsa_prefill(model, variables, prompt_ids):
             lc["topk_k"], lc["topk_v"] = kk, vv
         return lc
 
-    cache["pos_index"] = jnp.asarray(p, jnp.int32)
+    if lengths is None:
+        cache["pos_index"] = jnp.asarray(p, jnp.int32)
+    else:
+        cache["pos_index"] = (
+            lengths[0] if b == 1 else jnp.asarray(0, jnp.int32)
+        ).astype(jnp.int32)
     if cfg.scan_layers:
         x_stack = inter["layers"]["block"]["attn_norm"]["__call__"][0]
         cache["layers"]["block"]["sparse_attention"] = jax.vmap(build_layer)(
@@ -518,7 +606,12 @@ def nsa_prefill(model, variables, prompt_ids):
                 cache[lname]["sparse_attention"],
             )
 
-    return cache, logits[:, -1, :]
+    if lengths is None:
+        return cache, logits[:, -1, :]
+    last = jnp.take_along_axis(
+        logits, (lengths - 1)[:, None, None], axis=1
+    )[:, 0, :]  # each row's LAST-real-token logits
+    return cache, last
 
 
 @functools.partial(
@@ -558,8 +651,11 @@ def generate_ragged(
     distinct length — minutes each through the remote TPU compiler), any
     mix of lengths at a fixed (B, P_max) bucket shares one executable.
 
-    Dense-causal configs only: NSA's streaming caches (ring slots, chunk
-    sums, running top-k) are phase-locked to a shared position counter.
+    Works for dense-causal AND NSA configs: NSA rows prefill through the
+    length-aware ``nsa_prefill`` (each row's streaming caches built at
+    its own true length in one padded forward) and decode with per-row
+    positions — NSA's branch caches are all per-row, so no shared
+    counter is needed. ``prefix_cache`` stays dense-only.
     Row i's result is ``out[i, :prompt_lens[i] + max_new_tokens]``
     (prompt then continuation; positions past EOS are ``pad_id``).
     Returns (B, P_max + max_new_tokens); the slack region between a
@@ -570,12 +666,6 @@ def generate_ragged(
     is then a SUFFIX prefilled (and decoded) at the prefix's position
     offset. The output buffer still holds suffix + continuation only.
     """
-    if model.config.use_sparse_attention:
-        raise ValueError(
-            "generate_ragged supports dense-causal configs only (NSA "
-            "decode caches are position-phase-locked); group NSA prompts "
-            "by length instead"
-        )
     b, p = prompt_ids.shape
     bidx = jnp.arange(b)
     model_vars = {
@@ -583,27 +673,42 @@ def generate_ragged(
         "stats_buffer": variables.get("stats_buffer", {}),
     }
 
-    if prefix_cache is not None:
-        prefix_len = prefix_length(prefix_cache)  # traced scalar
-        cache = tile_prefix_cache(prefix_cache, b)
-    else:
+    if model.config.use_sparse_attention:
+        # NSA: the ragged (length-aware) teacher-forced prefill builds
+        # every row's streaming caches at its OWN length in one padded
+        # forward; decode then advances each row at its own position
+        # (the per-row NSA decode path). Prefix caching stays
+        # dense-only: NSA streaming caches depend on what follows the
+        # prefix (see prefill_prefix).
+        if prefix_cache is not None:
+            raise ValueError(
+                "prefix caching supports dense-causal configs only"
+            )
         prefix_len = jnp.array(0, jnp.int32)
-        cache = model.init(
-            jax.random.PRNGKey(0), prompt_ids, None, True, True
-        )["cache"]
-    # Prefill over the whole padded buffer (pads included; see above).
-    (logits, _), updated = model.apply(
-        {**model_vars, "cache": cache},
-        prompt_ids,
-        None,
-        True,
-        True,
-        mutable=["cache", "stats_buffer"],
-    )
-    cache = updated["cache"]
-    last = jnp.take_along_axis(
-        logits, (prompt_lens - 1)[:, None, None], axis=1
-    )[:, 0, :].astype(jnp.float32)  # (B, V) logits at each row's last token
+        cache, last = nsa_prefill(model, model_vars, prompt_ids, prompt_lens)
+        last = last.astype(jnp.float32)
+    else:
+        if prefix_cache is not None:
+            prefix_len = prefix_length(prefix_cache)  # traced scalar
+            cache = tile_prefix_cache(prefix_cache, b)
+        else:
+            prefix_len = jnp.array(0, jnp.int32)
+            cache = model.init(
+                jax.random.PRNGKey(0), prompt_ids, None, True, True
+            )["cache"]
+        # Prefill over the whole padded buffer (pads included; see above).
+        (logits, _), updated = model.apply(
+            {**model_vars, "cache": cache},
+            prompt_ids,
+            None,
+            True,
+            True,
+            mutable=["cache", "stats_buffer"],
+        )
+        cache = updated["cache"]
+        last = jnp.take_along_axis(
+            logits, (prompt_lens - 1)[:, None, None], axis=1
+        )[:, 0, :].astype(jnp.float32)  # (B, V) logits at each row's last token
     key, sample_key = jax.random.split(key)
     next_token = _sample(last, sample_key, temperature, top_k, top_p)
     done = jnp.zeros((b,), bool)

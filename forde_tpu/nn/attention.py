@@ -56,11 +56,11 @@ def topk_insert(state, new_score, new_k, new_v, pos):
     """One insertion into the running top-k set of the NSA decode cache.
 
     ``state = (scores (B,K) f32, idxs (B,K) i32, k (B,H,K,d), v)``;
-    ``new_score (B,)``, ``new_k/new_v (B,H,1,d)``, ``pos`` scalar source
-    position. The new entry replaces the set's minimum iff strictly
-    greater (ties keep the earlier index — the same winner as
-    ``lax.top_k``'s stable ordering over the full prefix). Shared by the
-    per-token decode step and the parallel-prefill scan
+    ``new_score (B,)``, ``new_k/new_v (B,H,1,d)``, ``pos`` scalar — or
+    (B,) per-row — source position. The new entry replaces the set's
+    minimum iff strictly greater (ties keep the earlier index — the same
+    winner as ``lax.top_k``'s stable ordering over the full prefix).
+    Shared by the per-token decode step and the parallel-prefill scan
     (models/generate.nsa_prefill) so prefill caches are LEAF-EXACT
     against token-by-token streaming — same kept set, same slot order.
     """
@@ -70,7 +70,8 @@ def topk_insert(state, new_score, new_k, new_v, pos):
     accept = new_score > min_score  # (B,)
     upd = jax.nn.one_hot(slot, scores.shape[1], dtype=bool) & accept[:, None]
     scores = jnp.where(upd, new_score[:, None], scores)
-    idxs = jnp.where(upd, jnp.asarray(pos, jnp.int32), idxs)
+    pos = jnp.asarray(pos, jnp.int32)
+    idxs = jnp.where(upd, pos[:, None] if pos.ndim == 1 else pos, idxs)
     sel = upd[:, None, :, None]  # (B,1,K,1): broadcast over heads/depth
     kk = jnp.where(sel, new_k.astype(kk.dtype), kk)
     vv = jnp.where(sel, new_v.astype(vv.dtype), vv)
@@ -105,8 +106,16 @@ class SlidingWindowAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, mask: Optional[jnp.ndarray] = None, decode: bool = False
+        self,
+        x,
+        mask: Optional[jnp.ndarray] = None,
+        decode: bool = False,
+        positions: Optional[jnp.ndarray] = None,
     ):
+        """``positions`` (B,), decode-only: per-row position of the single
+        token being fed (the continuous-pool / ragged serving path). When
+        omitted the shared ``cache_index`` counter supplies the position
+        (single-sequence streaming)."""
         b, s, d_model = x.shape
         qkv = nn.Dense(
             3 * self.num_heads * self.head_dim, name="qkv_proj", dtype=self.dtype
@@ -130,24 +139,28 @@ class SlidingWindowAttention(nn.Module):
             if self.is_initializing():
                 out = jnp.zeros_like(q)
             elif s == 1:
-                idx = cache_index.value  # position of this token
-                slot = jnp.mod(idx, w)
-                keys = jax.lax.dynamic_update_slice(
-                    cached_key.value, k, (0, 0, slot, 0)
-                )
-                values = jax.lax.dynamic_update_slice(
-                    cached_value.value, v, (0, 0, slot, 0)
-                )
+                # per-row token positions: the shared counter broadcast
+                # (single-sequence streaming) or the caller's (B,) vector
+                # (continuous pool / ragged batch — each row decodes at
+                # its OWN position).
+                if positions is not None:
+                    idx = positions.astype(jnp.int32)  # (B,)
+                else:
+                    idx = jnp.broadcast_to(cache_index.value, (b,))
+                slot = jnp.mod(idx, w)  # (B,)
+                bidx = jnp.arange(b)
+                keys = cached_key.value.at[bidx, :, slot].set(k[:, :, 0])
+                values = cached_value.value.at[bidx, :, slot].set(v[:, :, 0])
                 cached_key.value = keys
                 cached_value.value = values
-                cache_index.value = idx + 1
+                cache_index.value = cache_index.value + 1
                 # Slot j holds position idx - ((idx - j) mod w) — always
                 # within (idx - w, idx], so the window/causal bounds hold
                 # by construction; only not-yet-written slots (source
                 # position < 0) are masked.
                 j = jnp.arange(w)
-                slot_pos = idx - jnp.mod(idx - j, w)
-                attn_mask = (slot_pos >= 0)[None, None, None, :]
+                slot_pos = idx[:, None] - jnp.mod(idx[:, None] - j[None, :], w)
+                attn_mask = (slot_pos >= 0)[:, None, None, :]
                 out = attention_ref.mha_reference(q, keys, values, mask=attn_mask)
             else:
                 # Prefill from an empty cache (cache_index assumed 0):
@@ -329,9 +342,20 @@ class NativeSparseAttention(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         decode: bool = False,
+        positions: Optional[jnp.ndarray] = None,
+        lengths: Optional[jnp.ndarray] = None,
     ):
+        """``positions`` (B,), decode-only: per-row position of the single
+        token being fed (continuous pool / ragged batch serving).
+        ``lengths`` (B,), training-mode-only: the RAGGED forward — ``x``
+        is right-padded and row i's true length is ``lengths[i]``. Every
+        position < lengths[i] then computes exactly what a per-row
+        exact-length forward would (traced per-row branch gates, pad
+        importance scores at -inf, per-row pool-count masking via the
+        INVALID_KEY_POS sentinel) — the foundation of the padded
+        one-compile NSA prefill (models/generate.nsa_prefill)."""
         if decode:
-            return self._decode_step(x)
+            return self._decode_step(x, positions)
         b, s, d_model = x.shape
 
         output = SlidingWindowAttention(
@@ -345,25 +369,32 @@ class NativeSparseAttention(nn.Module):
             name="local_attention",
         )(x, mask)
 
-        # Static short-sequence gates (reference sparse_attention.py:331-332, 362)
-        local_window_start = s - self.window_size
-        has_global_context = local_window_start > self.compression_ratio
+        # Short-sequence gates (reference sparse_attention.py:331-332,
+        # 362): static Python bools of the (padded) length normally,
+        # traced per-row predicates of the true length on the ragged path.
+        if lengths is None:
+            local_window_start = s - self.window_size
+            use_c = 1.0 if local_window_start > self.compression_ratio else 0.0
+            use_t = 1.0 if s > self.window_size else 0.0
+        else:
+            use_c = (
+                lengths - self.window_size > self.compression_ratio
+            ).astype(x.dtype)[:, None, None]
+            use_t = (lengths > self.window_size).astype(x.dtype)[:, None, None]
 
         if self.use_compressed:
-            compressed = self._compressed_global(x)
+            compressed = self._compressed_global(x, lengths)
             gate_c = jax.nn.sigmoid(
                 nn.Dense(d_model, name="gate_compressed", dtype=self.dtype)(x)
             )
-            use_mask = 1.0 if has_global_context else 0.0
-            output = output + use_mask * gate_c * compressed
+            output = output + use_c * gate_c * compressed
 
         if self.use_top_k:
-            topk = self._top_k(x)
+            topk = self._top_k(x, lengths)
             gate_t = jax.nn.sigmoid(
                 nn.Dense(d_model, name="gate_top_k", dtype=self.dtype)(x)
             )
-            use_mask = 1.0 if s > self.window_size else 0.0
-            output = output + use_mask * gate_t * topk
+            output = output + use_t * gate_t * topk
 
         return output
 
@@ -397,7 +428,9 @@ class NativeSparseAttention(nn.Module):
     # current length (they are static Python bools in training).
     # ------------------------------------------------------------------
 
-    def _decode_step(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _decode_step(
+        self, x: jnp.ndarray, positions: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         b, s, d_model = x.shape
         assert s == 1 or self.is_initializing(), (
             "NSA decode processes one token per call (prefill feeds the "
@@ -407,7 +440,14 @@ class NativeSparseAttention(nn.Module):
         max_pools = max(self.max_decode_len // ratio, 1)
 
         pos = self.variable("cache", "nsa_pos", lambda: jnp.array(0, jnp.int32))
-        cur = pos.value  # position of this token; seq_len after = cur + 1
+        # position of this token, PER ROW; seq_len after = cur + 1. All
+        # branch state (ring, chunk sums, running top-k) is per-row, so
+        # the shared-counter path is just the broadcast special case of
+        # per-row positions (the continuous pool / ragged serving path).
+        if positions is not None:
+            cur = positions.astype(jnp.int32)  # (B,)
+        else:
+            cur = jnp.broadcast_to(pos.value, (b,))
 
         output = SlidingWindowAttention(
             num_heads=h,
@@ -417,16 +457,16 @@ class NativeSparseAttention(nn.Module):
             dtype=self.dtype,
             max_decode_len=self.max_decode_len,
             name="local_attention",
-        )(x, None, decode=True)
+        )(x, None, decode=True, positions=positions)
 
-        seq_len = cur + 1
+        seq_len = cur + 1  # (B,)
         if self.use_compressed:
             comp = self._compressed_decode(x, cur, b, d_model, max_pools)
             gate_c = jax.nn.sigmoid(
                 nn.Dense(d_model, name="gate_compressed", dtype=self.dtype)(x)
             )
             use_c = (seq_len - self.window_size > ratio).astype(x.dtype)
-            output = output + use_c * gate_c * comp
+            output = output + use_c[:, None, None] * gate_c * comp
 
         if self.use_top_k:
             topk = self._top_k_decode(x, cur, b, d_model)
@@ -434,10 +474,10 @@ class NativeSparseAttention(nn.Module):
                 nn.Dense(d_model, name="gate_top_k", dtype=self.dtype)(x)
             )
             use_t = (seq_len > self.window_size).astype(x.dtype)
-            output = output + use_t * gate_t * topk
+            output = output + use_t[:, None, None] * gate_t * topk
 
         if not self.is_initializing():
-            pos.value = cur + 1
+            pos.value = pos.value + 1
         return output
 
     def _compressed_decode(self, x, cur, b, d_model, max_pools):
@@ -468,33 +508,34 @@ class NativeSparseAttention(nn.Module):
             return jnp.zeros_like(x)
 
         new_sum = chunk_sum.value + x[:, 0, :].astype(jnp.float32)
-        completes = (cur + 1) % ratio == 0  # this token closes a chunk
-        pool_idx = jnp.maximum((cur + 1) // ratio - 1, 0)
+        completes = (cur + 1) % ratio == 0  # (B,) this token closes a chunk
+        pool_idx = jnp.maximum((cur + 1) // ratio - 1, 0)  # (B,)
 
         pool_mean = (new_sum / ratio).astype(x.dtype)[:, None, :]  # (B,1,D)
-        new_k = _split_heads(k_proj(pool_mean), h, d)  # (B,H,1,d)
-        new_v = _split_heads(v_proj(pool_mean), h, d)
-        old_k = jax.lax.dynamic_slice(
-            comp_k.value, (0, 0, pool_idx, 0), (b, h, 1, d)
+        new_k = _split_heads(k_proj(pool_mean), h, d)[:, :, 0]  # (B,H,d)
+        new_v = _split_heads(v_proj(pool_mean), h, d)[:, :, 0]
+        # per-row gather/scatter at each row's own pool slot (rows sit at
+        # different positions in the continuous pool / ragged path; the
+        # shared-counter case is the broadcast special case)
+        bidx = jnp.arange(b)
+        old_k = comp_k.value[bidx, :, pool_idx]  # (B,H,d)
+        old_v = comp_v.value[bidx, :, pool_idx]
+        sel = completes[:, None, None]
+        comp_k.value = comp_k.value.at[bidx, :, pool_idx].set(
+            jnp.where(sel, new_k, old_k)
         )
-        old_v = jax.lax.dynamic_slice(
-            comp_v.value, (0, 0, pool_idx, 0), (b, h, 1, d)
+        comp_v.value = comp_v.value.at[bidx, :, pool_idx].set(
+            jnp.where(sel, new_v, old_v)
         )
-        write_k = jnp.where(completes, new_k, old_k)
-        write_v = jnp.where(completes, new_v, old_v)
-        comp_k.value = jax.lax.dynamic_update_slice(
-            comp_k.value, write_k, (0, 0, pool_idx, 0)
+        chunk_sum.value = jnp.where(
+            completes[:, None], jnp.zeros_like(new_sum), new_sum
         )
-        comp_v.value = jax.lax.dynamic_update_slice(
-            comp_v.value, write_v, (0, 0, pool_idx, 0)
-        )
-        chunk_sum.value = jnp.where(completes, jnp.zeros_like(new_sum), new_sum)
 
         # Pool p participates once seq_len - window >= (p+1)*ratio, i.e.
         # cur >= (p+1)*ratio + window - 1. The kernel compares against
         # query position 0 (our one query), so shift thresholds by -cur.
         pool_ends = (jnp.arange(max_pools) + 1) * ratio + self.window_size - 1
-        key_pos = jnp.broadcast_to(pool_ends[None, :] - cur, (b, max_pools))
+        key_pos = pool_ends[None, :] - cur[:, None]  # (B, max_pools)
         qh = _split_heads(q, h, d)
         out = small_kv_attention(
             qh, comp_k.value, comp_v.value, key_pos, impl=self.impl
@@ -556,17 +597,33 @@ class NativeSparseAttention(nn.Module):
         topk_k.value, topk_v.value = kk, vv
 
         # index-based causal mask: kept row j visible iff cur >= its
-        # source index (thresholds shifted by -cur for the position-0
-        # query); empty slots sit at max_decode_len and are masked.
+        # source index (thresholds shifted by each row's own -cur for the
+        # position-0 query); empty slots sit at max_decode_len (> any
+        # admissible cur — positions are clipped to max_seq_len - 1) and
+        # stay masked.
         out = small_kv_attention(
-            _split_heads(q, h, d), kk, vv, ix - cur, impl=self.impl
+            _split_heads(q, h, d), kk, vv, ix - cur[:, None], impl=self.impl
         )
         out = _merge_heads(out).astype(x.dtype)
         return nn.Dense(d_model, name="topk_out_proj", dtype=self.dtype)(out)
 
-    def _compressed_global(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _compressed_global(
+        self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         """Coarse branch: mean-pool early positions into summaries, attend
-        with a pool-granular causal mask (reference :367-429)."""
+        with a pool-granular causal mask (reference :367-429).
+
+        ``lengths`` (B,): the ragged path — pools that do not exist at a
+        row's true length are excluded ABSOLUTELY (INVALID_KEY_POS →
+        -inf), so even the reference's all-masked-uniform quirk
+        normalizes over exactly the pools a per-row exact-length forward
+        would have. (The modular-wrap quirk cannot fire for any row whose
+        gate is on: gate-on means len > window + ratio, so the row's pool
+        span num_pools_row*ratio <= len - window < len never wraps.)"""
+        assert lengths is None or not self._cp_active, (
+            "ragged NSA forward is a serving/prefill path — not supported "
+            "under context parallelism"
+        )
         b, s, d_model = x.shape
         max_global_len = max(s - self.window_size, self.compression_ratio)
         num_pools = max(max_global_len // self.compression_ratio, 1)
@@ -607,6 +664,21 @@ class NativeSparseAttention(nn.Module):
         # the fused small-KV kernel (scores never materialize in HBM).
         pool_ends = (jnp.arange(num_pools) + 1) * self.compression_ratio
         key_pos = jnp.broadcast_to(pool_ends[None, :], (b, num_pools))
+        if lengths is not None:
+            from forde_tpu.ops.nsa_attention import INVALID_KEY_POS
+
+            # exact per-row pool count (reference num_pools formula at
+            # the row's true length); pools beyond it are padding keys
+            np_row = jnp.maximum(
+                jnp.maximum(lengths - self.window_size, self.compression_ratio)
+                // self.compression_ratio,
+                1,
+            )
+            key_pos = jnp.where(
+                jnp.arange(num_pools)[None, :] < np_row[:, None],
+                key_pos,
+                INVALID_KEY_POS,
+            )
         if self._cp_active:
             from forde_tpu.parallel.nsa_context import small_kv_attention_cp
 
@@ -618,15 +690,27 @@ class NativeSparseAttention(nn.Module):
         out = _merge_heads(out).astype(x.dtype)
         return nn.Dense(d_model, name="compressed_out_proj", dtype=self.dtype)(out)
 
-    def _top_k(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _top_k(
+        self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         """Fine branch: learned importance scores pick k tokens globally per
-        sequence; attend with index-based causal mask (reference :431-480)."""
+        sequence; attend with index-based causal mask (reference :431-480).
+
+        ``lengths`` (B,): the ragged path — pad positions score -inf, so
+        a row's selected set restricted to visible (index <= query)
+        tokens is exactly what a per-row exact-length forward selects
+        (pads only ever fill surplus slots, at indices >= the row's
+        length, invisible to every real query)."""
         b, s, d_model = x.shape
         k_sel = min(self.top_k_global, s)
 
         importance = nn.Dense(1, name="importance_scorer", dtype=self.dtype)(
             x
         ).squeeze(-1)
+        if lengths is not None:
+            importance = jnp.where(
+                jnp.arange(s)[None, :] < lengths[:, None], importance, -jnp.inf
+            )
         _, top_k_indices = jax.lax.top_k(importance, k_sel)  # (b, k) global per seq
 
         if self._cp_active:

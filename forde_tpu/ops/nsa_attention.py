@@ -29,6 +29,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 NEG_BIG = -1e9  # reference masking constant (NOT -inf; see module docstring)
+# A key whose threshold is >= INVALID_KEY_POS can never become visible
+# (no query position reaches 2**30), so it is treated as PADDING: masked
+# with -inf, not -1e9 — it is excluded even from the reference's
+# uniform-distribution quirk. The ragged NSA prefill uses this to hide
+# pools that do not exist at a row's true length (models/generate.
+# nsa_prefill with ``lengths``).
+INVALID_KEY_POS = 2**30
 DEFAULT_BLOCK_Q = 1024
 # impl="auto" picks the kernel only when the materialized (S, K) score
 # tensor is big enough for HBM traffic to dominate. Measured on v5e
@@ -73,6 +80,7 @@ def small_kv_attention_ref(
     q_pos = jnp.arange(q.shape[2])[None, None, :, None]
     k_pos = key_pos[:, None, None, :]
     scores = jnp.where(q_pos >= k_pos, scores, NEG_BIG)
+    scores = jnp.where(k_pos >= INVALID_KEY_POS, -jnp.inf, scores)
     weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
@@ -93,6 +101,10 @@ def _scores(q, k, pos_row, qi, block_q, k_real, scale):
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 0)
     mask = q_pos >= pos_row
     s = jnp.where(mask, s, NEG_BIG)
+    # threshold >= INVALID_KEY_POS: padding key — absolute exclusion
+    # (-inf), outside even the uniform-distribution quirk. ``mask`` is
+    # already False there (no q_pos reaches 2**30).
+    s = jnp.where(pos_row >= INVALID_KEY_POS, -jnp.inf, s)
     if kp != k_real:  # static padding of the key axis: exclude absolutely
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
         s = jnp.where(col < k_real, s, -jnp.inf)

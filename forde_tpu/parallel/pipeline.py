@@ -156,9 +156,32 @@ def pp_forward(
         )
     bspec = P(None, data_ax)
 
+    manual = {AXIS_PIPE} | ({data_ax} if data_ax else set())
+
+    def _vary(t):
+        """Mark values as varying over every manual axis (JAX's
+        varying-manual-axes type system: replicated inputs and fresh
+        zeros are invariant until explicitly pvary'd, and the scan
+        carry/ppermute/psum plumbing below requires consistent types)."""
+        return jax.tree.map(
+            lambda a: jax.lax.pcast(
+                a,
+                tuple(ax for ax in sorted(manual)
+                      if ax not in jax.typeof(a).vma),
+                to="varying",
+            ),
+            t,
+        )
+
     def stage_program(bp_local, stats_local, x_mb, str_mb):
         stage = jax.lax.axis_index(AXIS_PIPE)
         mb = x_mb.shape[1]  # local (data-sharded) microbatch size
+        x_mb = _vary(x_mb)
+        if use_mhc:
+            str_mb = _vary(str_mb)
+        bp_local = _vary(bp_local)
+        if has_stats:
+            stats_local = _vary(stats_local)
         # per-layer zero template (stats deltas start from zero each tick)
         stats_zero = (
             jax.tree.map(lambda a: jnp.zeros_like(a[0]), stats_local)
@@ -213,25 +236,27 @@ def pp_forward(
             )
             return (next_x, next_str, out, stats_acc, aux_acc), None
 
-        out0 = jnp.zeros(
+        out0 = _vary(jnp.zeros(
             (M, mb, s, cfg.num_streams, cfg.d_model)
             if use_mhc
             else (M, mb, s, cfg.d_model),
             dtype,
-        )
+        ))
         stats_acc0 = (
             jax.tree.map(jnp.zeros_like, stats_local)
             if has_stats
-            else jnp.zeros(())
+            else _vary(jnp.zeros(()))
         )
         carry0 = (
-            jnp.zeros((mb, s, cfg.d_model), x_mb.dtype),
-            jnp.zeros((mb, s, cfg.num_streams, cfg.d_model), x_mb.dtype)
+            _vary(jnp.zeros((mb, s, cfg.d_model), x_mb.dtype)),
+            _vary(jnp.zeros(
+                (mb, s, cfg.num_streams, cfg.d_model), x_mb.dtype
+            ))
             if use_mhc
             else None,
             out0,
             stats_acc0,
-            jnp.zeros(()),
+            _vary(jnp.zeros(())),
         )
         (_, _, out, stats_acc, aux_acc), _ = jax.lax.scan(
             tick, carry0, jnp.arange(T)
@@ -239,6 +264,20 @@ def pp_forward(
         # only stage S-1's buffer is non-zero; replicate it everywhere
         out = jax.lax.psum(out, AXIS_PIPE)
         aux_acc = jax.lax.psum(aux_acc, AXIS_PIPE)
+        if data_ax:
+            # DP composition: aux and stats are shard-local means over
+            # the local examples — average them over 'data' so the
+            # returned values are GLOBAL (equal shard sizes; previously,
+            # with vma checking off, the per-shard values were silently
+            # treated as replicated).
+            dsize = mesh.shape[data_ax]
+            aux_acc = jax.lax.psum(aux_acc, data_ax) / dsize
+            if has_stats:
+                stats_acc = jax.tree.map(
+                    lambda a: jax.lax.psum(a, data_ax) / dsize, stats_acc
+                )
+        if not has_stats:
+            stats_acc = jnp.zeros(())  # fresh invariant dummy (unused)
         return out, stats_acc, aux_acc
 
     # Manual only over the pipeline (and data) axes; every other mesh
@@ -249,14 +288,12 @@ def pp_forward(
     # (L, E, ...) stacked expert bank of the capacity dispatch (PP x EP
     # via GSPMD — the shard_map a2a EP path cannot nest here, see module
     # docstring).
-    manual = {AXIS_PIPE} | ({data_ax} if data_ax else set())
     out, stats_delta, aux_total = jax.shard_map(
         stage_program,
         mesh=mesh,
         in_specs=(pspec, stats_spec, bspec, bspec if use_mhc else P()),
         out_specs=(bspec, stats_spec, P()),
         axis_names=frozenset(manual),
-        check_vma=False,
     )(
         block_params,
         stats_tpl if has_stats else jnp.zeros(()),

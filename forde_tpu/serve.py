@@ -64,11 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompts_file", type=str, default=None,
                    help="batch serving: one prompt per line (comma-"
                         "separated token ids, or text with --text_prompts)."
-                        " Dense configs decode the whole mixed-length "
-                        "batch in ONE compiled program (ragged decode, "
-                        "per-row cache positions); NSA configs group "
-                        "prompts by length into exact batches. Results "
-                        "print in input order")
+                        " The whole mixed-length batch decodes in ONE "
+                        "compiled program (ragged decode, per-row cache "
+                        "positions) for every architecture flag, NSA "
+                        "included. Results print in input order")
     p.add_argument("--text_prompts", action="store_true",
                    help="treat --prompts_file lines as text (gpt2 "
                         "tokenizer required)")
@@ -271,17 +270,14 @@ def main(argv: Optional[list] = None) -> None:
         )
 
     if args.prompts_file:
-        # Throughput serving. Dense-causal configs decode the whole mixed-
-        # length batch RAGGED in one program (right-padded prompts,
-        # per-row cache positions — models/generate.generate_ragged); NSA
-        # configs (streaming caches phase-locked to a shared position)
-        # fall back to grouping prompts by length into exact batches, one
-        # compiled program per distinct length.
+        # Throughput serving: the whole mixed-length batch decodes RAGGED
+        # in one program (right-padded prompts, per-row cache positions —
+        # models/generate.generate_ragged) for EVERY architecture flag;
+        # NSA rows prefill through the length-aware nsa_prefill.
         if args.beam_size > 1 or args.draft_checkpoint_dir:
             sys.exit("--prompts_file composes with greedy/sampled cached "
                      "decode only (not --beam_size/--draft_checkpoint_dir)")
         import json
-        from collections import defaultdict
 
         with open(args.prompts_file) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
@@ -303,39 +299,23 @@ def main(argv: Optional[list] = None) -> None:
             )
         results = [None] * len(prompts)
         key = jax.random.PRNGKey(args.seed)
-        if not config.use_sparse_attention:
-            from forde_tpu.models.generate import generate_ragged
+        from forde_tpu.models.generate import generate_ragged
 
-            lens = np.array([len(pr) for pr in prompts], np.int32)
-            pmax = int(lens.max())
-            padded = np.full((len(prompts), pmax), args.pad_id, np.int32)
-            for i, pr in enumerate(prompts):
-                padded[i, : len(pr)] = pr
-            out = np.asarray(generate_ragged(
-                model, variables, jnp.asarray(padded), jnp.asarray(lens),
-                key, max_new_tokens=args.max_new_tokens,
-                temperature=args.temperature, top_k=args.top_k,
-                top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
-                prefix_cache=prefix_cache,
-            ))
-            for i, ln in enumerate(lens):
-                results[i] = out[i, : int(ln) + args.max_new_tokens].tolist()
-            mode = "ragged (1 program)"
-        else:
-            groups = defaultdict(list)
-            for i, pr in enumerate(prompts):
-                groups[len(pr)].append(i)
-            for plen, idxs in sorted(groups.items()):
-                batch = jnp.asarray([prompts[i] for i in idxs], jnp.int32)
-                out = generate_cached(
-                    model, variables, batch, jax.random.fold_in(key, plen),
-                    max_new_tokens=args.max_new_tokens,
-                    temperature=args.temperature, top_k=args.top_k,
-                    top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
-                )
-                for row, i in zip(np.asarray(out), idxs):
-                    results[i] = row.tolist()
-            mode = f"{len(groups)} length group(s)"
+        lens = np.array([len(pr) for pr in prompts], np.int32)
+        pmax = int(lens.max())
+        padded = np.full((len(prompts), pmax), args.pad_id, np.int32)
+        for i, pr in enumerate(prompts):
+            padded[i, : len(pr)] = pr
+        out = np.asarray(generate_ragged(
+            model, variables, jnp.asarray(padded), jnp.asarray(lens),
+            key, max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
+            prefix_cache=prefix_cache,
+        ))
+        for i, ln in enumerate(lens):
+            results[i] = out[i, : int(ln) + args.max_new_tokens].tolist()
+        mode = "ragged (1 program)"
         for i, row in enumerate(results):
             print(f"[{i}] token ids: {row}")
         if args.output_file:

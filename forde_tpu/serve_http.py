@@ -21,11 +21,11 @@ power of two — so at most log2(max_seq_len) x log2(max_batch) distinct
 executables exist, each compiled once (and the persistent XLA cache
 makes them survive restarts).
 
-NSA configs are served too, but their streaming caches are
-phase-locked to a shared position, so a batch is split into exact
-same-length groups (no length bucketing — compile variety scales with
-distinct prompt lengths; dense configs are the recommended online
-targets, as in ``serve --prompts_file``).
+NSA configs (the reference's DEFAULT) go through the SAME ragged path:
+the length-aware NSA prefill builds each row's streaming caches at its
+true length inside the padded bucket, and decode advances per-row
+positions — the pow2 bucketing (bounded compile set) holds for every
+architecture flag.
 
 Sampling parameters (temperature/top-k/top-p/eos) are server-level
 flags in BATCH mode: they are compile-time constants of the decode
@@ -36,8 +36,8 @@ program, so per-request values would defeat the shape bucketing. In
 ``max_new_tokens`` (<= the server's ``--max_new_tokens``) is honored
 by trimming: the program always runs the server maximum.
 
-``--continuous`` switches to CONTINUOUS batching (dense configs):
-requests join and leave a fixed-capacity decode pool at token
+``--continuous`` switches to CONTINUOUS batching (dense and NSA
+configs): requests join and leave a fixed-capacity decode pool at token
 granularity (``models/decode_pool.DecodePool``) — no batch boundaries,
 short requests finish early, and a freed slot is refilled on the next
 scheduler tick. Per-request ``max_new_tokens`` then bounds the actual
@@ -199,10 +199,10 @@ class Batcher:
             self.stats["max_batch_rows"] = max(
                 self.stats["max_batch_rows"], len(batch)
             )
-        if self.config.use_sparse_attention:
-            self._decode_nsa_groups(batch)
-        else:
-            self._decode_ragged(batch)
+        # one path for every architecture flag: NSA rows prefill through
+        # the length-aware nsa_prefill inside generate_ragged, so the
+        # pow2 shape bucketing (bounded compile set) holds for NSA too
+        self._decode_ragged(batch)
         with self._lock:
             self.stats["tokens_generated"] += sum(
                 len(r.output) - len(r.prompt)
@@ -244,32 +244,6 @@ class Batcher:
         for i, r in enumerate(batch):
             r.output = out[i, : len(r.prompt) + r.max_new].tolist()
             r.batch_rows = rows
-
-    def _decode_nsa_groups(self, batch):
-        from collections import defaultdict
-
-        from forde_tpu.models.generate import generate_cached
-
-        args = self.args
-        groups = defaultdict(list)
-        for r in batch:
-            groups[len(r.prompt)].append(r)
-        for plen, reqs in sorted(groups.items()):
-            ids = jnp.asarray([r.prompt for r in reqs], jnp.int32)
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(args.seed),
-                self.stats["batches"] * 131071 + plen,
-            )
-            out = np.asarray(generate_cached(
-                self.model, self.variables, ids, key,
-                max_new_tokens=args.max_new_tokens,
-                temperature=args.temperature, top_k=args.top_k,
-                top_p=args.top_p, eos_id=args.eos_id, pad_id=args.pad_id,
-            ))
-            for row, r in zip(out, reqs):
-                r.output = row[: plen + r.max_new].tolist()
-                r.batch_rows = len(reqs)
-
 
 class ContinuousBatcher:
     """Same submit() contract as Batcher, but token-granular: requests
@@ -642,8 +616,8 @@ def add_server_args(p):
     p.add_argument("--continuous", action="store_true",
                    help="continuous batching: requests join/leave the "
                         "decode pool at TOKEN granularity (no batch "
-                        "boundaries; --max_batch = pool rows; dense "
-                        "configs only)")
+                        "boundaries; --max_batch = pool rows; dense AND "
+                        "NSA configs)")
     p.add_argument("--prefill_chunk", type=int, default=None,
                    help="continuous mode: prefill prompts in fixed-size "
                         "chunks, one per scheduler tick — a long prompt "
@@ -669,9 +643,10 @@ def make_server(args):
         raise SystemExit("--prefix_ids requires a dense-causal config "
                          "(NSA caches depend on what follows the prefix)")
     if args.continuous:
-        if config.use_sparse_attention:
-            raise SystemExit("--continuous requires a dense-causal config "
-                             "(NSA caches are position-phase-locked)")
+        if config.use_sparse_attention and args.prefill_chunk:
+            raise SystemExit("--prefill_chunk requires a dense-causal "
+                             "config (the NSA prefill is one "
+                             "teacher-forced forward)")
         batcher = ContinuousBatcher(config, model, variables, args)
     else:
         batcher = Batcher(config, model, variables, args)

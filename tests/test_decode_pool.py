@@ -148,11 +148,50 @@ def test_pool_decode_fuse_streams_in_order():
     assert seen == ref[len(p):]
 
 
-def test_pool_rejects_nsa():
-    from forde_tpu.models.decode_pool import DecodePool
-
-    cfg = tiny_config()  # NSA on
+def _nsa_fixture():
+    cfg = tiny_config(max_seq_len=64)  # NSA on (window 16, ratio 4)
     model = FORDEDecoderLM(config=cfg)
     variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    return cfg, model, variables
+
+
+@pytest.mark.slow
+def test_pool_nsa_all_exact():
+    """The reference's DEFAULT architecture (NSA) through the continuous
+    pool: slot reuse across 5 mixed-length requests (lengths straddling
+    the window/ratio gates), every output token-exact vs single-sequence
+    generate_cached greedy decoding."""
+    from forde_tpu.models.decode_pool import DecodePool
+
+    cfg, model, variables = _nsa_fixture()
+    rng = np.random.RandomState(1)
+    prompts = [
+        rng.randint(1, cfg.vocab_size, (n,)).tolist()
+        for n in (3, 18, 22, 7, 26)
+    ]
+    budgets = [4, 6, 5, 3, 6]
+    pool = DecodePool(model, variables, rows=2, temperature=0.0)
+    rids = [
+        pool.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)
+    ]
+    results = {}
+    ticks = 0
+    while pool.pending():
+        for rid, out in pool.tick():
+            results[rid] = out
+        ticks += 1
+        assert ticks < 300, "pool did not drain"
+    for rid, p, b in zip(rids, prompts, budgets):
+        assert results[rid] == _single(model, variables, p, b), (
+            f"NSA request {rid} diverged"
+        )
+
+
+def test_pool_nsa_rejects_chunked_prefill():
+    """NSA prefill is one teacher-forced forward; chunk-resumable NSA
+    caches do not exist, so --prefill_chunk stays dense-only."""
+    from forde_tpu.models.decode_pool import DecodePool
+
+    cfg, model, variables = _nsa_fixture()
     with pytest.raises(ValueError, match="dense-causal"):
-        DecodePool(model, variables, rows=2)
+        DecodePool(model, variables, rows=2, prefill_chunk=8)

@@ -619,16 +619,5 @@ def test_generate_ragged_eos_pads_tail():
     assert any_continues, "fixture degenerate: every row stopped at once"
 
 
-def test_generate_ragged_rejects_nsa():
-    import pytest
-
-    from forde_tpu.models.generate import generate_ragged
-
-    cfg = tiny_config()  # NSA on
-    model = FORDEDecoderLM(config=cfg)
-    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
-    with pytest.raises(ValueError, match="dense-causal"):
-        generate_ragged(
-            model, variables, jnp.ones((2, 4), jnp.int32),
-            jnp.array([4, 2], jnp.int32), jax.random.PRNGKey(0),
-        )
+# NSA ragged generation (one padded program for the reference's default
+# architecture) is covered by tests/test_nsa_ragged.py.

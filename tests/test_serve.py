@@ -160,9 +160,10 @@ def test_serve_speculative_decoding(tmp_path, capsys):
 
 
 def test_serve_prompts_file_batch(tmp_path, capsys):
-    """Batch serving (NSA config -> length groups): prompts grouped by
-    length, decoded in batches, results in input order; each row must
-    equal the single-prompt greedy output for the same prompt."""
+    """Batch serving (NSA config, ragged): the whole mixed-length batch
+    decodes in ONE program via the length-aware NSA prefill; results in
+    input order; each row must equal the single-prompt greedy output for
+    the same prompt."""
     import json
 
     from forde_tpu import serve
@@ -181,7 +182,7 @@ def test_serve_prompts_file_batch(tmp_path, capsys):
         "--max_new_tokens", "3", "--temperature", "0", *shape,
     ])
     out = capsys.readouterr().out
-    assert "4 prompts, 2 length group(s)" in out
+    assert "4 prompts, ragged (1 program)" in out
 
     rows = [json.loads(ln) for ln in out_file.read_text().splitlines()]
     assert [r["index"] for r in rows] == [0, 1, 2, 3]
