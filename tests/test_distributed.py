@@ -25,9 +25,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_train_step():
+def test_two_process_dp_train_step(tmp_path):
+    """Train step + jitted GMM slow loop + sharded Orbax save/restore,
+    all over a 2-process global mesh (see distributed_worker.py)."""
     port = _free_port()
     base = dict(os.environ)
+    base["FORDE_TEST_CKPT_DIR"] = str(tmp_path / "ckpt")
     # fresh CPU-only processes (the axon plugin pins the TPU otherwise)
     base.pop("PALLAS_AXON_POOL_IPS", None)
     base["JAX_PLATFORMS"] = "cpu"
@@ -61,9 +64,18 @@ def test_two_process_dp_train_step():
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
-    losses = [
-        float(re.search(r"WORKER_OK loss=([\d.eE+-]+)", o).group(1))
+    matches = [
+        re.search(
+            r"WORKER_OK loss=([\d.eE+-]+) imbalance=([\d.eE+-]+) "
+            r"ckpt_roundtrip=exact", o,
+        )
         for o in outs
     ]
-    # SPMD: both processes compute the same replicated global loss
-    assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+    assert all(matches), outs
+    # SPMD: both processes compute the same replicated global values
+    assert float(matches[0].group(1)) == pytest.approx(
+        float(matches[1].group(1)), abs=1e-6
+    )
+    assert float(matches[0].group(2)) == pytest.approx(
+        float(matches[1].group(2)), abs=1e-6
+    )
