@@ -6,6 +6,7 @@ attend back over everything written), so the pool must stay token-exact
 — including with a shared prefix, slot reuse, and cancellation mid-fill.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +41,7 @@ def _drain(pool, limit=300):
     return results, ticks
 
 
+@pytest.mark.slow
 def test_chunked_prefill_token_exact():
     """Chunk sizes that divide, straddle, and exceed the prompt length
     all produce the one-shot greedy outputs."""
@@ -61,6 +63,7 @@ def test_chunked_prefill_token_exact():
             )
 
 
+@pytest.mark.slow
 def test_chunked_prefill_with_prefix():
     """Chunked suffix prefill continues from the registered prefix cache
     — exact vs concatenated decoding."""
@@ -82,6 +85,7 @@ def test_chunked_prefill_with_prefix():
         assert results[rid] == want, rid
 
 
+@pytest.mark.slow
 def test_chunked_prefill_overlaps_decoding():
     """While one slot chunk-prefills a long prompt, the other slot keeps
     decoding — the long prompt must not stall the short one for its

@@ -1,5 +1,6 @@
 """Distillation: KL toward the teacher decreases; CLI wiring."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from forde_tpu.train.state import create_train_state
 from tests.test_decoder_model import tiny_config
 
 
+@pytest.mark.slow
 def test_pure_kl_distillation_converges_toward_teacher():
     tcfg = tiny_config(use_moe=False, use_sparse_attention=False)
     teacher = FORDEDecoderLM(config=tcfg)
@@ -35,6 +37,7 @@ def test_pure_kl_distillation_converges_toward_teacher():
     assert kls[-1] < 0.5 * kls[0], (kls[0], kls[-1])
 
 
+@pytest.mark.slow
 def test_distill_cli_smoke(tmp_path):
     from forde_tpu.train import loop as train_loop
 

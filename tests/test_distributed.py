@@ -15,6 +15,9 @@ import sys
 
 import pytest
 
+# every test here is a whole-CLI / multi-process end-to-end smoke
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "distributed_worker.py")
 

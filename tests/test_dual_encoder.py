@@ -55,6 +55,7 @@ def _batch(b=4, cfg=None, seed=0):
     return {k: jnp.asarray(v) for k, v in raw.items()}
 
 
+@pytest.mark.slow
 def test_dual_encoder_forward_shapes_and_collections():
     cfg = tiny_cfg()
     model = FORDEDualEncoder(config=cfg)

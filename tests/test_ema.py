@@ -1,5 +1,6 @@
 """EMA of params: update math, loop integration, checkpoint + serve."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def test_with_ema_one_step_math():
         )
 
 
+@pytest.mark.slow
 def test_ema_checkpoint_and_serve_roundtrip(tmp_path, capsys):
     """Train with --ema_decay + checkpoint; serve --use_ema restores and
     decodes from the EMA weights with no shape flags."""
@@ -68,6 +70,7 @@ def test_ema_checkpoint_and_serve_roundtrip(tmp_path, capsys):
     assert ids[:3] == [5, 17, 20] and len(ids) == 6
 
 
+@pytest.mark.slow
 def test_clip_loop_ema_smoke():
     from forde_tpu.train.clip_loop import build_parser, train
 

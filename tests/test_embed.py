@@ -1,8 +1,10 @@
 """Embedding CLI: checkpoint -> image/text embeddings + similarity."""
 
+import pytest
 import numpy as np
 
 
+@pytest.mark.slow
 def test_embed_cli_roundtrip(tmp_path, capsys):
     from forde_tpu import embed
     from forde_tpu.train.clip_loop import build_parser, train

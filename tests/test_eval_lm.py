@@ -81,6 +81,7 @@ class TestTextFileDataset:
 
 
 class TestEvalCLI:
+    @pytest.mark.slow
     def test_eval_checkpoint_on_corpus(self, tmp_path, capsys):
         from forde_tpu.eval_lm import build_parser, evaluate
         from forde_tpu.train.loop import build_parser as train_parser
@@ -112,6 +113,7 @@ class TestEvalCLI:
         printed = capsys.readouterr().out.strip().splitlines()[-1]
         assert json.loads(printed)["batches"] == 3
 
+    @pytest.mark.slow
     def test_eval_rejects_oversized_vocab(self, tmp_path):
         from forde_tpu.eval_lm import build_parser, evaluate
         from forde_tpu.train.loop import build_parser as train_parser

@@ -64,7 +64,9 @@ def test_ep_matches_dense_moe(mesh_shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-5)
     np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
 
+@pytest.mark.slow
 
+@pytest.mark.slow
 def test_ep_grads_flow():
     x, dense, variables, ep_params = _setup(b=8, s=8)
     mesh = mesh_lib.create_mesh(data=2, expert=4)

@@ -25,6 +25,7 @@ def _grads(fn, qkv):
     return jax.grad(loss)(qkv)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kv_case", ["none", "lens"])
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_mha_matches_reference(kv_case, causal):
@@ -56,6 +57,7 @@ def test_flash_mha_matches_reference(kv_case, causal):
     )
 
 
+@pytest.mark.slow
 def test_flash_mha_unaligned_seq_pads():
     """S=50 (not a block multiple) pads internally and still matches."""
     qkv = _qkv(jax.random.PRNGKey(1), s=50)
@@ -81,6 +83,7 @@ def test_flash_mha_window_matches_4d_kernel():
     )
 
 
+@pytest.mark.slow
 def test_flash_mha_zero_len_sample():
     """kv_lens[b] == 0 rows are ZERO (not mean-of-v) in forward, with zero
     grads, identically in the kernel and the reference path."""

@@ -82,6 +82,7 @@ def _run_both(cfg, k, sense_interval):
     return state, m, ref, ref_m
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sense_interval", [1, 2])
 def test_fused_equals_unfused_one_group(sense_interval):
     """k=2: strict equivalence. stride 1 = two sensed scan iterations;

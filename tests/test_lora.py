@@ -102,6 +102,7 @@ class TestLoraCore:
                 targets=("definitely_not_a_module",),
             )
 
+    @pytest.mark.slow
     def test_train_moves_adapters_only_and_loss_drops(self):
         config = tiny_config()
         full = make_state(config)
@@ -167,6 +168,7 @@ class TestLoraCLI:
         train(args)
         return ckpt
 
+    @pytest.mark.slow
     def test_lora_cli_roundtrip_and_serve_merge(self, tmp_path, capsys):
         from forde_tpu.train.checkpoint import load_lm_state
         from forde_tpu.train.loop import build_parser, train
@@ -217,6 +219,7 @@ class TestLoraCLI:
         with pytest.raises(ValueError, match="requires --init_from"):
             train(args)
 
+    @pytest.mark.slow
     def test_lora_rejects_slow_loop(self, tmp_path):
         from forde_tpu.train.loop import build_parser, train
 
@@ -227,6 +230,7 @@ class TestLoraCLI:
         with pytest.raises(ValueError, match="slow_loop_interval 0"):
             train(args)
 
+    @pytest.mark.slow
     def test_warm_start_without_lora(self, tmp_path):
         from forde_tpu.train.checkpoint import load_lm_state
         from forde_tpu.train.loop import build_parser, train

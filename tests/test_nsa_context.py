@@ -38,6 +38,7 @@ def _qkv(key):
 
 
 class TestWindowAttentionCP:
+    @pytest.mark.slow
     def test_matches_reference_fwd(self):
         q, k, v = _qkv(jax.random.PRNGKey(0))
         ref = attention_ref.sliding_window_attention_ref(q, k, v, WINDOW)

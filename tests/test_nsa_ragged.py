@@ -45,6 +45,7 @@ def _fixture(scan_layers=False):
     return cfg, model, variables, prompts, padded
 
 
+@pytest.mark.slow
 def test_ragged_forward_matches_exact_length_rows():
     """model.apply(padded, lengths=...) == per-row exact-length forward
     at every real position."""
@@ -66,6 +67,7 @@ def test_ragged_forward_matches_exact_length_rows():
 @pytest.mark.parametrize(
     "scan_layers", [False, pytest.param(True, marks=pytest.mark.slow)]
 )
+@pytest.mark.slow
 def test_ragged_prefill_leaf_exact(scan_layers):
     """nsa_prefill(padded, lengths) row i == nsa_prefill(exact row i):
     every batched cache leaf (ring K/V, chunk sums, comp pools, top-k
@@ -104,6 +106,7 @@ def test_ragged_prefill_leaf_exact(scan_layers):
 @pytest.mark.parametrize(
     "scan_layers", [False, pytest.param(True, marks=pytest.mark.slow)]
 )
+@pytest.mark.slow
 def test_generate_ragged_nsa_token_exact(scan_layers):
     """Mixed-length NSA prompts, ONE padded program: every row equals the
     single-sequence generate_cached greedy continuation."""

@@ -79,6 +79,7 @@ def _batches(n, b, s, vocab):
 
 
 class TestExpertParallelWiring:
+    @pytest.mark.slow
     def test_ep_matches_single_device(self):
         """moe_dispatch='ep' on (data=2, expert=2) == capacity on 1 device."""
         cfg_ep = _cfg(moe_dispatch="ep")
@@ -143,6 +144,7 @@ class TestExpertParallelWiring:
         np.testing.assert_allclose(float(l_a), float(l_p), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_p), atol=1e-5)
 
+    @pytest.mark.slow
     def test_ep_requires_mesh(self):
         import pytest
 
@@ -252,6 +254,7 @@ class TestThreeAxisMeshes:
 
 
 class TestContextParallelWiring:
+    @pytest.mark.slow
     def test_cp_matches_single_device(self):
         """context=4 ring attention training == single-device training."""
         cfg = _cfg(use_moe=False)
@@ -284,6 +287,7 @@ class TestTensorParallelWiring:
     the ``model`` axis (core/mesh.tp_param_spec), model code unchanged,
     XLA inserts the all-reduces. Losses must match single-device runs."""
 
+    @pytest.mark.slow
     def test_tp_matches_single_device(self):
         """Dense decoder on (data=2, model=2) == 1 device."""
         cfg = _cfg(moe_dispatch="capacity")
@@ -352,6 +356,7 @@ class TestFSDPWiring:
     numerically invisible: same losses as replicated params, with the
     big param/moment leaves actually sharded."""
 
+    @pytest.mark.slow
     def test_fsdp_matches_single_device(self):
         cfg = _cfg(moe_dispatch="capacity")
         batches = _batches(2, 8, 32, cfg.vocab_size)

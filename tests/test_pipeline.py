@@ -61,6 +61,7 @@ def _pipe_mesh(stages):
     )
 
 
+@pytest.mark.slow
 def test_pp_forward_matches_model():
     """Logits + aux + stats from the 4-stage, 2-microbatch pipeline ==
     one plain full-batch forward."""

@@ -5,6 +5,7 @@ other request's tokens; a runtime-registered prefix must behave exactly
 like a startup prefix.
 """
 
+import pytest
 import json
 import socket
 import threading
@@ -33,6 +34,7 @@ def _greedy(model, variables, prompt, new):
     ))[0].tolist()
 
 
+@pytest.mark.slow
 def test_pool_cancel_queued_and_active():
     """Cancel one queued and one active request; the remaining requests
     drain to exactly their greedy continuations and the cancelled ids
@@ -93,6 +95,7 @@ def _post(host, port, path, payload, timeout=600):
         return json.loads(r.read())
 
 
+@pytest.mark.slow
 def test_http_runtime_prefix_registration():
     """POST /prefix then /generate with prefix_id == local prefix-cached
     greedy decode; two prefixes coexist."""
@@ -125,6 +128,7 @@ def test_http_runtime_prefix_registration():
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_http_sse_disconnect_frees_slot():
     """Drop an SSE connection mid-stream on a 1-row pool; a follow-up
     request must still complete (the dead row was cancelled, not left

@@ -73,6 +73,7 @@ def _fixture():
     return cfg, model, variables
 
 
+@pytest.mark.slow
 def test_pool_per_request_sampling_deterministic_configs():
     """Mixed per-request settings in ONE pool: every deterministic
     configuration (greedy / top_k=1 / nucleus-of-one) must equal the

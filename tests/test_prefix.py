@@ -44,6 +44,7 @@ def _concat_greedy(model, variables, prompt, new):
     ))[0].tolist()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scan_layers", [False, True])
 def test_generate_cached_prefix_token_exact(scan_layers):
     """prefix cache + suffix == concatenated prompt, both layer layouts,
@@ -82,6 +83,7 @@ def test_generate_cached_prefix_rejects_nsa():
         )
 
 
+@pytest.mark.slow
 def test_generate_ragged_prefix_token_exact():
     """Mixed-length suffixes under one shared prefix, ONE program — every
     row equals its concatenated single-prompt greedy decode."""
@@ -105,6 +107,7 @@ def test_generate_ragged_prefix_token_exact():
         assert out[i, : len(s) + 5].tolist() == want, i
 
 
+@pytest.mark.slow
 def test_decode_pool_prefix_and_streaming_exact():
     """Pool requests with a registered prefix — INCLUDING slot reuse
     (more requests than rows) — match concatenated decoding; the
@@ -142,6 +145,7 @@ def test_decode_pool_prefix_and_streaming_exact():
         assert streamed[rid] == want[len(s):], rid  # continuation only
 
 
+@pytest.mark.slow
 def test_decode_pool_prefix_budget_guard():
     from forde_tpu.models.decode_pool import DecodePool
 
@@ -161,6 +165,7 @@ def test_decode_pool_prefix_budget_guard():
     assert results[rid] == want
 
 
+@pytest.mark.slow
 def test_serve_cli_prefix_ids(tmp_path, capsys):
     """--prefix_ids: single-prompt and ragged batch paths both reuse the
     prefix and print prompt + continuation only."""

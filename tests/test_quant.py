@@ -74,6 +74,7 @@ def test_quantized_logits_close_unrolled_and_scanned():
         assert agree > 0.7, (kw, agree)
 
 
+@pytest.mark.slow
 def test_quantized_generate_cached_runs():
     from forde_tpu.models.generate import generate_cached
 

@@ -147,6 +147,7 @@ def _transplant(ref_params, kwargs):
     "impl",
     [pytest.param("reference", marks=pytest.mark.slow), "interpret"],
 )
+@pytest.mark.slow
 def test_decoder_matches_reference_with_transplanted_weights(impl):
     RefModel, RefConfig = _load_reference()
     kwargs = _shared_config_kwargs()

@@ -19,6 +19,7 @@ def _qkv(s=64, b=2, h=2, d=32, seed=0):
     return tuple(jax.random.normal(k, (b, h, s, d)) for k in keys)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("causal", [True, False])
 def test_ring_attention_matches_reference(causal):
     mesh = mesh_lib.create_mesh(data=1, expert=1, context=8)
@@ -61,6 +62,7 @@ def test_ring_attention_grads_match_reference():
         )
 
 
+@pytest.mark.slow
 def test_zigzag_matches_reference_8way():
     """The balanced causal schedule == single-device causal attention."""
     mesh = mesh_lib.create_mesh(data=1, expert=1, context=8)

@@ -1,6 +1,7 @@
 """Scanned-layers decoder: shapes, stats layout, slow-loop compatibility,
 loss decrease."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +33,7 @@ def test_scan_forward_and_collections():
     assert all(int(c) == 1 for c in np.asarray(buf["step_count"]))
 
 
+@pytest.mark.slow
 def test_scan_stats_collection_and_slow_loop():
     cfg = scan_config()
     state = create_train_state(
@@ -65,6 +67,7 @@ def test_scan_stats_collection_and_slow_loop():
         assert float(jnp.abs(leaf).sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_scan_train_decreases_loss():
     cfg = scan_config()
     state = create_train_state(
@@ -80,6 +83,7 @@ def test_scan_train_decreases_loss():
     assert losses[-1] < losses[0] - 0.3
 
 
+@pytest.mark.slow
 def test_scan_with_remat():
     cfg = scan_config(remat=True)
     model = FORDEDecoderLM(config=cfg)

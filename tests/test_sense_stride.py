@@ -52,6 +52,7 @@ def setup():
     return cfg, state, batch
 
 
+@pytest.mark.slow
 def test_nosense_step_params_match_sensed(setup):
     cfg, state, batch = setup
     nosense = make_nosense_step(cfg)

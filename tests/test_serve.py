@@ -1,6 +1,10 @@
 """Serving CLI: random-init smoke and checkpoint round-trip (CPU)."""
 
+import pytest
 import sys
+
+# every test here is a whole-CLI / multi-process end-to-end smoke
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

@@ -55,6 +55,7 @@ def _get(url, path):
         return json.loads(r.read())
 
 
+@pytest.mark.slow
 def test_http_concurrent_mixed_lengths_batch_and_match_greedy(server):
     url, batcher = server
     assert _get(url, "/healthz")["status"] == "ok"

@@ -1,6 +1,7 @@
 """Speculative decoding: greedy exactness vs the target's own cached
 decode, all-accept fast path when draft == target, EOS semantics."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def _mk(seed, **kw):
     return cfg, model, variables
 
 
+@pytest.mark.slow
 def test_speculative_greedy_matches_target_cached():
     """T=0: speculative output must be TOKEN-EXACT the target's greedy
     chain, independent of the (different-seed) draft model."""
@@ -39,6 +41,7 @@ def test_speculative_greedy_matches_target_cached():
     assert int(stats["rounds"]) >= 1
 
 
+@pytest.mark.slow
 def test_speculative_draft_is_target_accepts_everything():
     """draft == target and T=0: every proposal accepted -> gamma+1 tokens
     per round, rounds == ceil(max_new / (gamma+1))."""
@@ -76,6 +79,7 @@ def test_speculative_eos_pads_tail():
     np.testing.assert_array_equal(out[5:], np.zeros(9, np.int32))
 
 
+@pytest.mark.slow
 def test_speculative_scan_layers_target():
     cfg, model, variables = _mk(0, scan_layers=True)
     _, draft, dvars = _mk(7, num_layers=1)

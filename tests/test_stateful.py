@@ -1,6 +1,7 @@
 """StatefulLayer op + module tests: multiplex semantics, straight-through
 gradient vs the analytic derivative, sensing accumulation."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +71,7 @@ def test_multiplex_gradient_matches_analytic():
     np.testing.assert_allclose(np.asarray(g), np.asarray(expected), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stateful_layer_collections_and_sensing():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (2, 8, 16))

@@ -24,6 +24,7 @@ def test_prefetch_preserves_order_and_content():
         np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2, 2), i))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = LLMConfig(
         vocab_size=128, d_model=32, num_layers=1, num_heads=2, head_dim=16,
