@@ -52,7 +52,9 @@ def build(args):
         num_experts=args.num_experts,
         top_k_experts=2,
         expert_hidden_dim=4 * args.d_model,
-        use_sparse_attention=False,
+        use_sparse_attention=args.nsa,
+        window_size=args.nsa_window,
+        compression_ratio=4,
         use_moe=args.num_experts > 1,
         use_hyper_connections=False,
         scan_layers=args.scan_layers,
@@ -324,6 +326,12 @@ def main():
     ap.add_argument("--max_prompt", type=int, default=128)
     ap.add_argument("--min_new", type=int, default=16)
     ap.add_argument("--max_new", type=int, default=64)
+    ap.add_argument("--nsa", action="store_true",
+                    help="serve the reference's DEFAULT attention (NSA, "
+                         "src/forde/model.py:55) instead of dense-causal; "
+                         "prefix/chunked modes are skipped (NSA prefill is "
+                         "one teacher-forced forward — no resumable cache)")
+    ap.add_argument("--nsa_window", type=int, default=128)
     ap.add_argument("--scan_layers", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -355,6 +363,12 @@ def main():
           f"new=[{args.min_new},{args.max_new}] "
           f"output_tokens={tokens} rows={args.rows}", flush=True)
     skip = set(args.skip.split(","))
+    if args.nsa:
+        # prefix caching / chunked prefill are dense-only contracts
+        # (models/decode_pool.py NSA limits) — skip, don't crash.
+        skip.add("prefix")
+        args.prefill_chunk = None
+        args.load_prefix = False
     warm = not args.no_warm
 
     if "sequential" not in skip:
