@@ -226,11 +226,18 @@ def main() -> None:
     scan_extra = int(os.environ.get("BENCH_SCAN_EXTRA", "32"))
     scan_stride = int(os.environ.get("BENCH_SCAN_STRIDE", "32"))
     scan_reps = int(os.environ.get("BENCH_SCAN_REPS", "3"))
+    # Batch 384, NOT the per-step-dispatch knee of 512: under the fused
+    # scan the knee moves down — 384 measured 10,843 vs 512's 9,869
+    # pairs/s/chip (benchmarks/scan32_sweep.py, v5e, round 5). The
+    # per-step extras above keep their own measured knee (512).
+    scan_batch = int(
+        os.environ.get("BENCH_SCAN_BATCH", os.environ.get("BENCH_BATCH", "384"))
+    )
     if preset == "both" and scan_stride > 1 and scan_extra > 1:
         samples = sorted(
             run_preset(
                 "tiny_hd128",
-                int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH["tiny_hd128"])),
+                scan_batch,
                 max(steps, 3 * scan_extra),
                 scan_stride,
                 scan_k=scan_extra,
