@@ -34,6 +34,14 @@ def prefetch_to_device(
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    # Consumers routinely abandon this generator early (train loops stop
+    # at --num_steps with the source iterator unexhausted). Without a
+    # shutdown signal the producer thread then blocks on q.put FOREVER,
+    # leaking one thread + `size` device-resident batches per abandoned
+    # loop (observed as live producer threads in long pytest processes).
+    # The stop event + timeout-put + drain-on-close below bound producer
+    # lifetime to ~the put timeout after the consumer goes away.
+    stop = threading.Event()
 
     def put(x):
         x = (
@@ -48,22 +56,42 @@ def prefetch_to_device(
             x = _u8_to_unit_f32(x)
         return x
 
+    def put_q(item) -> bool:
+        """Enqueue unless/until the consumer signalled shutdown."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
-                batch = jax.tree.map(put, batch)
-                q.put(batch)
-            q.put(sentinel)
+                if stop.is_set():
+                    return
+                if not put_q(jax.tree.map(put, batch)):
+                    return
+            put_q(sentinel)
         except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
-            q.put(exc)
+            put_q(exc)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a producer waiting on a full queue
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
